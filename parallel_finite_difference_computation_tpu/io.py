@@ -1,0 +1,101 @@
+"""Raw binary and text I/O for velocity models, shot gathers, and images.
+
+Replaces the reference's direct ``fread``/``fwrite`` of x-major float32
+blocks (e.g. velocity load at ``cuda_reference_RTM/src/fd-code.cu:437-449``,
+observed-data load at ``:420-424``, image dump at ``:540``) and the
+``image.num`` text observability dump (``:478-479,522-528``).
+
+All 2D arrays are (nx, nz) C-order float32 — identical byte layout to the
+reference's ``p[ix][iz]`` row-pointer arrays, so files interchange verbatim.
+A native C++ fast path (``native/``) is used for the large text dump when
+available; see :mod:`..utils.native`.
+"""
+
+from __future__ import annotations
+
+import os
+import numpy as np
+
+__all__ = [
+    "read_f32", "write_f32",
+    "read_velocity", "read_shot_gathers", "read_vel_ext",
+    "write_image", "write_image_num", "read_image_num",
+]
+
+
+def read_f32(path: str, count: int = -1) -> np.ndarray:
+    return np.fromfile(path, dtype=np.float32, count=count)
+
+
+def write_f32(path: str, arr: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.ascontiguousarray(arr, dtype=np.float32).tofile(path)
+
+
+def read_velocity(path: str, nx: int, nz: int) -> np.ndarray:
+    """(nx, nz) velocity model, x-major like ``vp[ix][iz]``
+    (``fd-code.cu:437-441``). Missing trailing data reads as zero, matching
+    the reference's memset-then-fread pattern."""
+    flat = read_f32(path, nx * nz)
+    if flat.size < nx * nz:
+        flat = np.concatenate([flat, np.zeros(nx * nz - flat.size, np.float32)])
+    return flat.reshape(nx, nz)
+
+
+def read_shot_gathers(path: str, ns: int, nx: int, nt: int) -> np.ndarray:
+    """(ns, nx, nt) observed data ``d_obs[is][ix][it]`` (``fd-code.cu:420-424``)."""
+    flat = read_f32(path, ns * nx * nt)
+    if flat.size < ns * nx * nt:
+        flat = np.concatenate([flat, np.zeros(ns * nx * nt - flat.size, np.float32)])
+    return flat.reshape(ns, nx, nt)
+
+
+def read_vel_ext(path: str, ns: int, nxe: int, nze: int) -> np.ndarray:
+    """(ns, nxe, nze) pre-extended per-shot velocity (``fd-code.cu:412-418``)."""
+    flat = read_f32(path, ns * nxe * nze)
+    if flat.size < ns * nxe * nze:
+        flat = np.concatenate([flat, np.zeros(ns * nxe * nze - flat.size, np.float32)])
+    return flat.reshape(ns, nxe, nze)
+
+
+def write_image(path: str, img: np.ndarray) -> None:
+    """Binary stacked image ``dir.image`` — (nx, nz) float32 row-major,
+    byte-identical to ``fwrite(*img, ..., nz*nx)`` (``fd-code.cu:540``)."""
+    write_f32(path, img)
+
+
+def write_image_num(path: str, per_shot_cumulative: list, fmt: str = " %f \n") -> None:
+    """Text observability dump compatible with ``image.num``
+    (``fd-code.cu:522-528``): per shot, a ``======== <is> ========`` header
+    followed by the cumulative stacked image, one ``" %f \\n"`` value per
+    line in x-major order.
+    """
+    try:
+        from .utils.native import write_image_num_native
+        if write_image_num_native(path, per_shot_cumulative):
+            return
+    except Exception:
+        pass
+    with open(path, "w") as f:
+        for i, img in enumerate(per_shot_cumulative):
+            f.write(f"======== {i} ========\n")
+            flat = np.asarray(img, dtype=np.float32).ravel()
+            f.write("".join(fmt % v for v in flat))
+
+
+def read_image_num(path: str):
+    """Parse an ``image.num`` file back into a list of (flat) float arrays."""
+    sections, cur = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("========"):
+                if cur:
+                    sections.append(np.asarray(cur, np.float32))
+                cur = []
+            else:
+                s = line.strip()
+                if s:
+                    cur.append(float(s))
+    if cur:
+        sections.append(np.asarray(cur, np.float32))
+    return sections

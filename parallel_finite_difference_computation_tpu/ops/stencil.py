@@ -1,0 +1,106 @@
+"""XLA-level wave-propagation ops — the reference's six device kernels.
+
+These are the lax/jnp formulations of the kernels K1-K6
+(``cuda_reference_RTM/src/fd-code.cu:53-144``), written so XLA fuses a whole
+time step into a handful of HBM passes (vs the reference's 4+ kernel launches
+per step). A further-fused Pallas path lives in :mod:`.pallas_fd`; both share
+the interior-sum helpers here so they stay numerically identical.
+
+Conventions: wavefields are (nx, nz) float32 where nx/nz are the *extended*
+dims (reference calls them nxe/nze inside the drivers); the x axis is the
+leading (sublane) axis and z the trailing (lane) axis, matching the
+reference's ``p[ix][iz]`` flattening ``i*nz + j``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "laplacian_interior", "laplacian", "leapfrog",
+    "apply_taper", "inject_point", "inject_gaussian",
+    "inject_receivers", "imaging_correlation",
+]
+
+
+def laplacian_interior(p, coefs_x, coefs_z, order: int):
+    """Order-``order`` central-difference 2D Laplacian on the interior
+    ``[h:nx-h, h:nz-h]`` with premultiplied coefficients — kernel K1
+    (``kernel_lap``, ``fd-code.cu:53-78``). Returns the (nx-order, nz-order)
+    interior block; z and x contributions are accumulated separately and then
+    added, matching the CUDA accumulation structure.
+    """
+    nx, nz = p.shape
+    h = order // 2
+    acmz = coefs_z[0] * jax.lax.slice(p, (h, 0), (nx - h, nz - order))
+    acmx = coefs_x[0] * jax.lax.slice(p, (0, h), (nx - order, nz - h))
+    for io in range(1, order + 1):
+        acmz = acmz + coefs_z[io] * jax.lax.slice(p, (h, io), (nx - h, nz - order + io))
+        acmx = acmx + coefs_x[io] * jax.lax.slice(p, (io, h), (nx - order + io, nz - h))
+    return acmz + acmx
+
+
+def laplacian(p, coefs_x, coefs_z, order: int):
+    """Full-grid Laplacian with zero borders. The reference's ``d_laplace``
+    buffer is never written outside the interior, and the leapfrog update
+    (K2) reads it over the full grid — borders are zero in practice (memset
+    at ``fd-code.cu:219`` on CPU; fresh zero pages on GPU), which we make
+    exact here."""
+    h = order // 2
+    interior = laplacian_interior(p, coefs_x, coefs_z, order)
+    return jnp.pad(interior, ((h, h), (h, h)))
+
+
+def leapfrog(p, pp, v2, lap, dt2):
+    """Two-step leapfrog update ``pp' = 2p - pp + v2*dt2*lap`` over the full
+    grid — kernel K2 (``kernel_time``, ``fd-code.cu:80-92``)."""
+    return 2.0 * p - pp + v2 * dt2 * lap
+
+
+def apply_taper(field, mask):
+    """Absorbing-taper multiply — kernel K3 (``kernel_tapper``,
+    ``fd-code.cu:94-117``) and the CPU ``taper_apply``/``taper_apply2``
+    (``taper.c:47-84``), precomputed as a full-grid mask
+    (:func:`..numerics.taper_mask_top` / ``taper_mask_all``). XLA fuses this
+    multiply into the neighbouring ops, so the strip kernels' special-case
+    grids are unnecessary on TPU."""
+    return field * mask
+
+
+def inject_point(pp, sx, sz, amp):
+    """Single-cell source injection ``pp[sx, sz] += amp`` — kernel K4
+    (``kernel_src``, ``fd-code.cu:119-122``). ``sx``/``sz`` may be traced."""
+    return pp.at[sx, sz].add(amp)
+
+
+def inject_gaussian(pp, sx, sz, amp, patch):
+    """Gaussian 7x7 source injection — CPU ``ptsrc`` (``ptsrc.c:51-57``).
+
+    ``patch`` is the (2r+1, 2r+1) Gaussian from
+    :func:`..numerics.gaussian_source_patch`. The reference clips the patch
+    at grid edges; with bordered grids the source is always interior, and we
+    require that here (radius <= min(sx, sz, nx-1-sx, nz-1-sz))."""
+    r = patch.shape[0] // 2
+    sub = jax.lax.dynamic_slice(pp, (sx - r, sz - r), patch.shape)
+    return jax.lax.dynamic_update_slice(pp, sub + amp * patch, (sx - r, sz - r))
+
+
+def inject_receivers(ppr, dobs_t, nxb, gz):
+    """Receiver-row injection for the backward pass — kernel K5
+    (``kernel_sism``, ``fd-code.cu:124-131``): adds the time slice
+    ``dobs_t`` (length nx-2*nxb) along depth row ``gz`` at interior x
+    positions. Time reversal of the observed data is done by the caller."""
+    n = dobs_t.shape[0]
+    col = jax.lax.dynamic_slice(ppr, (nxb, gz), (n, 1))
+    return jax.lax.dynamic_update_slice(ppr, col + dobs_t[:, None], (nxb, gz))
+
+
+def imaging_correlation(imloc, p, ppr, nxb, nzb):
+    """Zero-lag cross-correlation imaging condition — kernel K6
+    (``kernel_img``, ``fd-code.cu:133-144``):
+    ``imloc += p[interior] * ppr[interior]`` on the border-stripped grid."""
+    nx, nz = p.shape
+    pi = jax.lax.slice(p, (nxb, nzb), (nx - nxb, nz - nzb))
+    ri = jax.lax.slice(ppr, (nxb, nzb), (nx - nxb, nz - nzb))
+    return imloc + pi * ri

@@ -1,0 +1,311 @@
+"""Propagation drivers: lax.scan time loops for modeling and RTM.
+
+TPU-native rebuild of the reference's propagation-driver layer:
+
+* ``fd_forward`` (``cuda_reference_RTM/src/fd-code.cu:247-288``) — GPU-flavor
+  forward propagation with point source and top-strip taper; returns the last
+  two wavefield states (the algorithmic checkpoint used for backward
+  reconstruction).
+* ``fd_back`` (``fd-code.cu:290-341``) — dual propagation: the source field
+  is regenerated *backwards in time* from the two saved snapshots (no taper;
+  relies on the random-boundary quasi-reversibility) while the receiver field
+  is propagated with time-reversed observed data injected at the receiver
+  row, with on-device cross-correlation imaging each step.
+* the CPU pipeline loops of ``mod_main`` (``dpct_gpu_rtm_domain_division/
+  src/mod_main.cpp:140-174``) and ``rtm_main`` (``src/rtm_main.cpp:158-247``)
+  — Gaussian/point source, all-edge or top-strip taper, seismogram recording,
+  full-wavefield storage and post-hoc imaging.
+
+Where the reference swaps device pointers each step (``fd-code.cu:260-262``)
+we thread ``(p, pp)`` functionally through ``lax.scan``; where it round-trips
+host<->device per shot (``write_buffers``) everything here stays in
+HBM/VMEM for the whole job. Double-buffer swaps are free under XLA (aliased
+buffers), and the whole step fuses into a few kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import numerics
+from .config import Params, Geometry
+from .ops.stencil import (
+    laplacian, leapfrog, inject_point, inject_gaussian,
+    inject_receivers, imaging_correlation,
+)
+
+__all__ = ["FDContext", "forward_modeling", "fd_forward", "fd_back",
+           "rtm_shot_snapshot", "rtm_shot_full"]
+
+_F = np.float32
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash for jit static arg
+class FDContext:
+    """Static per-run context: derived constants for the propagation loops.
+
+    Bundles what the reference scatters across ``fd_init``/``taper_init``
+    globals (``fd-code.cu:146-224``, ``functions.c:361-379``).
+    """
+
+    nxe: int
+    nze: int
+    nt: int
+    nxb: int
+    nzb: int
+    order: int
+    dt2: float                 # dt*dt, float32
+    coefs_x: np.ndarray        # (order+1,) premultiplied by 1/dx^2
+    coefs_z: np.ndarray        # (order+1,) premultiplied by 1/dz^2
+    mask_top: np.ndarray       # (nxe, nze) top-strip taper multiplier (K3)
+    mask_all: np.ndarray       # (nxe, nze) all-edge taper multiplier
+    source_patch: np.ndarray   # (7, 7) Gaussian injection patch
+
+    @property
+    def nx(self) -> int:
+        return self.nxe - 2 * self.nxb
+
+    @property
+    def nz(self) -> int:
+        return self.nze - 2 * self.nzb
+
+    @staticmethod
+    def create(nx: int, nz: int, nt: int, dx: float, dz: float, dt: float,
+               order: int = 8, nxb: int = 40, nzb: int = 40,
+               fac: float = 0.7, exact_taper: bool = True) -> "FDContext":
+        """Build a context from base (unextended) grid dims.
+
+        ``exact_taper`` selects the taper-profile formula: True for the GPU
+        suite (``functions.c:361-379``), False for the CPU pipeline's
+        ``fac``-scaled variant (``taper.c:25-45``).
+        """
+        nxe, nze = nx + 2 * nxb, nz + 2 * nzb
+        cx, cz = numerics.scaled_coefficients(order, dx, dz)
+        tx = numerics.taper_profile(nxb, fac, exact=exact_taper)
+        tz = numerics.taper_profile(nzb, fac, exact=exact_taper)
+        return FDContext(
+            nxe=nxe, nze=nze, nt=nt, nxb=nxb, nzb=nzb, order=order,
+            dt2=float(_F(dt) * _F(dt)),
+            coefs_x=cx, coefs_z=cz,
+            mask_top=numerics.taper_mask_top(nxe, nze, nxb, nzb, tx, tz),
+            mask_all=numerics.taper_mask_all(nxe, nze, nxb, nzb, tx, tz),
+            source_patch=numerics.gaussian_source_patch(),
+        )
+
+    @staticmethod
+    def from_params(p: Params, exact_taper: bool = True) -> "FDContext":
+        return FDContext.create(p.nx, p.nz, p.nt, p.dx, p.dz, p.dt,
+                                order=p.order, nxb=p.nxb, nzb=p.nzb,
+                                fac=p.fac, exact_taper=exact_taper)
+
+    def zero_field(self):
+        return jnp.zeros((self.nxe, self.nze), jnp.float32)
+
+
+def _fd_update(ctx: FDContext, p, pp, v2):
+    """One fused Laplacian + leapfrog update (K1+K2; CPU ``fd_step``,
+    ``timestep/fd.c:24-46``)."""
+    lap = laplacian(p, jnp.asarray(ctx.coefs_x), jnp.asarray(ctx.coefs_z),
+                    ctx.order)
+    return leapfrog(p, pp, v2, lap, jnp.float32(ctx.dt2))
+
+
+# --------------------------------------------------------------------------
+# CPU-pipeline-flavor loop (mod_main / rtm_main): update -> inject -> taper
+# -> record -> swap
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ctx", "source", "taper", "record"))
+def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
+                     source: str = "gaussian", taper: str = "all",
+                     record: str = "trace"):
+    """Forward modeling producing synthetic shot data — ``mod_main``'s time
+    loop (``mod_main.cpp:146-168``) and ``rtm_main``'s forward half
+    (``rtm_main.cpp:166-188``).
+
+    Per step: leapfrog update, source injection into the *new* field, taper
+    both fields, record from the *old* (time-t) field post-taper, swap.
+
+    record="trace": (nt, nx) seismogram of row ``gz`` interior —
+    ``data[is][ix][it] = P[ix+nxb][gz]`` (``mod_main.cpp:159-161``).
+    record="wavefield": (nt, nx, nz) interior wavefield (``rtm_main.cpp:
+    177-181``). record="none": no per-step output.
+
+    Returns ``(p, pp, recorded)`` where (p, pp) are the final carry fields.
+    """
+    mask = jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top)
+    patch = jnp.asarray(ctx.source_patch)
+
+    def step(carry, amp):
+        p, pp = carry
+        pp = _fd_update(ctx, p, pp, v2)
+        if source == "gaussian":
+            pp = inject_gaussian(pp, sx, sz, amp, patch)
+        else:
+            pp = inject_point(pp, sx, sz, amp)
+        pp = pp * mask
+        p = p * mask
+        if record == "trace":
+            out = jax.lax.dynamic_slice(p, (ctx.nxb, gz), (ctx.nx, 1))[:, 0]
+        elif record == "wavefield":
+            out = jax.lax.slice(p, (ctx.nxb, ctx.nzb),
+                                (ctx.nxe - ctx.nxb, ctx.nze - ctx.nzb))
+        else:
+            out = None
+        return (pp, p), out
+
+    init = (ctx.zero_field(), ctx.zero_field())
+    (p, pp), rec = jax.lax.scan(step, init, wavelet)
+    return p, pp, rec
+
+
+@partial(jax.jit, static_argnames=("ctx", "x_off_quirk"))
+def backward_recorded(ctx: FDContext, v2, dobs, gz, x_off_quirk: bool = True):
+    """``rtm_main``'s backward half (``rtm_main.cpp:196-220``): propagate the
+    time-reversed observed data and record the full interior wavefield.
+
+    ``dobs`` is (nx, nt). The reference injects ``dobs[is][ix][nt-it]`` — an
+    off-by-one that reads one float past each trace at it=0 (the next trace's
+    first sample, which modeling guarantees to be 0); we reproduce that as a
+    zero-padded read. It also offsets x by ``nzb`` where ``nxb`` is meant
+    (``rtm_main.cpp:202``) — benign when nxb==nzb; ``x_off_quirk`` keeps the
+    reference behavior.
+
+    Returns ``(p, pp, rwf)`` with rwf shaped (nt, nx, nz).
+    """
+    mask = jnp.asarray(ctx.mask_top)
+    x_off = ctx.nzb if x_off_quirk else ctx.nxb
+    # injected[it] = dobs[:, nt-it], with dobs[:, nt] := 0 (OOB-read parity)
+    dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
+                           axis=1)
+    inj = dpad[:, ::-1][:, :ctx.nt].T  # (nt, nx): inj[it] = dpad[:, nt-it]
+
+    def step(carry, inj_t):
+        p, pp = carry
+        pp = _fd_update(ctx, p, pp, v2)
+        pp = inject_receivers(pp, inj_t, x_off, gz)
+        pp = pp * mask
+        p = p * mask
+        out = jax.lax.slice(p, (ctx.nxb, ctx.nzb),
+                            (ctx.nxe - ctx.nxb, ctx.nze - ctx.nzb))
+        return (pp, p), out
+
+    init = (ctx.zero_field(), ctx.zero_field())
+    (p, pp), rwf = jax.lax.scan(step, init, inj)
+    return p, pp, rwf
+
+
+@partial(jax.jit, static_argnames=("ctx", "x_off_quirk"))
+def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
+                  x_off_quirk: bool = True):
+    """Full-wavefield-storage RTM for one shot — the ``rtm_main`` pipeline
+    (``rtm_main.cpp:158-247``): forward with stored source wavefield,
+    backward with stored receiver wavefield, then the zero-lag correlation
+    ``imloc[ix][iz] = sum_it swf[nt-it-1]*rwf[it]`` (``rtm_main.cpp:223-229``).
+
+    This is the memory-heavy end of the checkpoint/recompute spectrum; see
+    :func:`rtm_shot_snapshot` for the 2-snapshot end.
+    Returns the (nx, nz) per-shot image.
+    """
+    _, _, swf = forward_modeling(ctx, v2, wavelet, sx, sz, gz,
+                                 source="point", taper="top",
+                                 record="wavefield")
+    _, _, rwf = backward_recorded(ctx, v2, dobs, gz, x_off_quirk=x_off_quirk)
+    return jnp.sum(swf[::-1] * rwf, axis=0)
+
+
+# --------------------------------------------------------------------------
+# GPU-suite-flavor loop (fd_forward / fd_back): swap -> taper -> update -> inject
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ctx", "capture_step"))
+def fd_forward(ctx: FDContext, v2, wavelet, sx, sz,
+               capture_step: Optional[int] = None):
+    """GPU-suite forward propagation (``fd_forward``, ``fd-code.cu:247-288``).
+
+    Per step: swap, taper both fields (top strip), Laplacian+leapfrog, point
+    source into the new field. Returns ``(p, pp[, capture])`` — the final two
+    wavefield states (= ``snaps`` used to reconstruct the source field in
+    :func:`fd_back`), and optionally the ``p`` field right after the update
+    at step ``capture_step`` (the reference's ``file-teste`` debug dump at
+    it==750, ``fd-code.cu:268-281``).
+    """
+    mask = jnp.asarray(ctx.mask_top)
+
+    def step(carry, xs):
+        it, amp = xs
+        p, pp, cap = carry
+        p, pp = pp, p
+        p = p * mask
+        pp = pp * mask
+        pp = _fd_update(ctx, p, pp, v2)
+        pp = inject_point(pp, sx, sz, amp)
+        if capture_step is not None:
+            cap = jnp.where(it == capture_step, p, cap)
+        return (p, pp, cap), None
+
+    xs = (jnp.arange(ctx.nt), wavelet)
+    cap0 = ctx.zero_field() if capture_step is not None else jnp.float32(0.0)
+    (p, pp, cap), _ = jax.lax.scan(
+        step, (ctx.zero_field(), ctx.zero_field(), cap0), xs)
+    if capture_step is None:
+        return p, pp
+    return p, pp, cap
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def fd_back(ctx: FDContext, v2, snap0, snap1, dobs, gz):
+    """GPU-suite backward propagation + imaging (``fd_back``,
+    ``fd-code.cu:290-341``).
+
+    Two interleaved propagations per step: the source field is re-seeded from
+    the two saved snapshots at it=0,1 and then re-propagated reverse-in-time
+    *without taper* (random-boundary quasi-reversibility), while the receiver
+    field is propagated with the top-strip taper and the time-reversed
+    observed data ``dobs`` (nx, nt) injected along row ``gz`` (K5); the
+    zero-lag correlation (K6) accumulates on-device each step.
+
+    Returns the (nx, nz) per-shot image ``imloc``.
+    """
+    mask = jnp.asarray(ctx.mask_top)
+    inj = dobs[:, ::-1].T  # (nt, nrec): inj[it] = dobs[:, nt-1-it]
+
+    def step(carry, xs):
+        it, inj_t = xs
+        p, pp, pr, ppr, imloc = carry
+        # source-field reconstruction (no taper)
+        ppn = _fd_update(ctx, p, pp, v2)
+        ppn = jnp.where(it == 0, snap1, jnp.where(it == 1, snap0, ppn))
+        p, pp = ppn, p
+        # receiver field (tapered, data-injected)
+        pr = pr * mask
+        ppr = ppr * mask
+        pprn = _fd_update(ctx, pr, ppr, v2)
+        pprn = inject_receivers(pprn, inj_t, ctx.nxb, gz)
+        imloc = imaging_correlation(imloc, p, pprn, ctx.nxb, ctx.nzb)
+        pr, ppr = pprn, pr
+        return (p, pp, pr, ppr, imloc), None
+
+    z = ctx.zero_field()
+    imloc0 = jnp.zeros((ctx.nx, ctx.nz), jnp.float32)
+    init = (z, z, z, z, imloc0)
+    xs = (jnp.arange(ctx.nt), inj)
+    (_, _, _, _, imloc), _ = jax.lax.scan(step, init, xs)
+    return imloc
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def rtm_shot_snapshot(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz):
+    """Two-snapshot (checkpointed) RTM for one shot — the GPU-suite shot body
+    (``fd-code.cu:480-529``): forward to get the final two states, then
+    backward reconstruction + imaging. The forward source wavefield is never
+    stored — the memory-light end of the checkpoint/recompute spectrum.
+    Returns the (nx, nz) per-shot image."""
+    p, pp = fd_forward(ctx, v2, wavelet, sx, sz)
+    return fd_back(ctx, v2, p, pp, dobs, gz)
