@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+Headline: full RTM (forward modeling + migration, rtm_main-equivalent) on the
+reference's 3lay golden config, seconds per shot on the attached accelerator,
+vs the self-established local baseline of the reference's own CPU
+implementation (BASELINE_LOCAL.json; the reference publishes no numbers —
+BASELINE.md). Secondary metrics (stencil GCell/s, modeling throughput) go to
+BENCH_DETAILS.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+import parallel_finite_difference_computation_tpu as pfdc
+from parallel_finite_difference_computation_tpu import io, numerics, pipeline
+from parallel_finite_difference_computation_tpu.solver import (
+    FDContext, forward_modeling, rtm_shot_full)
+from parallel_finite_difference_computation_tpu.ops.stencil import laplacian
+
+REFERENCE = os.environ.get("PFDC_REFERENCE_ROOT", "/root/reference")
+GOLDEN = os.path.join(REFERENCE, "dpct_gpu_rtm_domain_division/build/3lay_mod")
+
+BASELINE_RTM_S_PER_SHOT = 9.05   # BASELINE_LOCAL.json: rtm_main 3lay, 1 shot
+BASELINE_MOD_S_PER_SHOT = 4.58   # mod_main 3lay, 1 shot
+
+
+def _sync(x):
+    """Force completion with a scalar readback. Needed because on the
+    tunneled (axon) TPU platform ``block_until_ready`` returns before remote
+    execution completes, and repeated identical calls are served from a
+    result cache — so timings must use distinct inputs and a device->host
+    readback as the fence."""
+    return float(jnp.sum(x))
+
+
+def _timeit(make_args, fn, warmup=1, iters=3):
+    """Time ``fn(*make_args(i))`` with a fresh input per iteration and a
+    readback fence. ``make_args(i)`` must return device-ready args that
+    differ per ``i``."""
+    for i in range(warmup):
+        _sync(fn(*make_args(-1 - i)))
+    times = []
+    out = None
+    for i in range(iters):
+        args = make_args(i)
+        _ = [_sync(a) for a in args if hasattr(a, "shape")]
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def _load_3lay():
+    cfg = os.path.join(GOLDEN, "input.dat")
+    if os.path.exists(cfg):
+        p = pfdc.parse_input_dat(cfg)
+        vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+        dobs = io.read_shot_gathers(p.datfile, p.ns, p.nx, p.nt)
+    else:  # reference absent: synthesize the same-shaped workload
+        p = pfdc.Params(nz=151, nx=151, nt=1001, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=30.0, ns=1, nxb=40, nzb=40, fac=0.01, order=8)
+        from parallel_finite_difference_computation_tpu.models import layered_model
+        vp = layered_model(p.nx, p.nz)
+        dobs = None
+    return p, vp, dobs
+
+
+def bench_rtm():
+    p, vp, dobs = _load_3lay()
+    g = p.geometry()
+    base = pipeline.prepare_velocity_cpu(p, vp)
+    ctx = FDContext.from_params(p, exact_taper=False)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    if dobs is None:
+        dobs = pipeline.run_modeling(p, vp=vp)
+    d0 = jnp.asarray(dobs[0])
+
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    fn = lambda v: rtm_shot_full(ctx, v, wav, d0, g.sx[0], g.sz, g.gz)
+    t, _ = _timeit(make, fn)
+    # correctness gate alongside the timing (unperturbed velocity)
+    rel = None
+    gold_path = os.path.join(GOLDEN, "dir.image")
+    if os.path.exists(gold_path):
+        golden = io.read_f32(gold_path).reshape(p.nx, p.nz)
+        img = np.asarray(fn(jnp.asarray(base)))
+        rel = float(np.sqrt(np.mean((img - golden) ** 2))
+                    / np.sqrt(np.mean(golden ** 2)))
+    return t, rel
+
+
+def bench_modeling():
+    p, vp, _ = _load_3lay()
+    g = p.geometry()
+    base = pipeline.prepare_velocity_cpu(p, vp)
+    ctx = FDContext.from_params(p, exact_taper=False)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    fn = lambda v: forward_modeling(ctx, v, wav, g.sx[0], g.sz, g.gz,
+                                    source="gaussian", taper="all",
+                                    record="trace")[2]
+    t, _ = _timeit(make, fn)
+    return t
+
+
+def bench_stencil(repeats: int = 50):
+    """Laplacian on the stencil benchmark's own 415x295 grid
+    (cuda_reference_stencil_computation), reported as GCell-updates/s.
+    ``repeats`` chained applications inside one jit amortize dispatch."""
+    nxe, nze, order = 415, 295, 8
+    path = os.path.join(REFERENCE,
+                        "cuda_reference_stencil_computation/input.bin")
+    if os.path.exists(path):
+        field = io.read_velocity(path, nxe, nze)
+    else:
+        field = np.random.default_rng(0).standard_normal(
+            (nxe, nze)).astype(np.float32)
+    cx = jnp.asarray(numerics.scaled_coefficients(order, 10.0, 10.0)[0])
+    cz = jnp.asarray(numerics.scaled_coefficients(order, 10.0, 10.0)[1])
+
+    @jax.jit
+    def f(x):
+        def body(i, a):
+            return laplacian(a, cx, cz, order) + 1e-12 * i
+        return jax.lax.fori_loop(0, repeats, body, x)
+
+    make = lambda i: (jnp.asarray(field * (1 + 1e-7 * i)),)
+    t, _ = _timeit(make, f, warmup=2, iters=5)
+    cells = (nxe - order) * (nze - order) * repeats
+    return cells / t / 1e9, t / repeats
+
+
+def main():
+    dev = jax.devices()[0]
+    details = {"device": str(dev), "platform": dev.platform}
+
+    t_rtm, rel = bench_rtm()
+    details["rtm_3lay_s_per_shot"] = t_rtm
+    details["rtm_3lay_rel_rms_vs_golden"] = rel
+    details["rtm_speedup_vs_cpu_reference"] = BASELINE_RTM_S_PER_SHOT / t_rtm
+
+    t_mod = bench_modeling()
+    details["modeling_3lay_s_per_shot"] = t_mod
+    details["modeling_speedup_vs_cpu_reference"] = BASELINE_MOD_S_PER_SHOT / t_mod
+
+    gcell, t_st = bench_stencil()
+    details["stencil_gcell_per_s"] = gcell
+    details["stencil_single_launch_s"] = t_st
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "rtm_3lay_s_per_shot",
+        "value": round(t_rtm, 4),
+        "unit": "s/shot",
+        "vs_baseline": round(BASELINE_RTM_S_PER_SHOT / t_rtm, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Application pipelines: the reference's four programs as library calls.
+
+* :func:`run_stencil` — the one-shot Laplacian micro-benchmark
+  (``cuda_reference_stencil_computation/fd-source-code.cu:277-352``).
+* :func:`run_modeling` — synthetic shot-gather generation, ``mod_main``
+  (``dpct_gpu_rtm_domain_division/src/mod_main.cpp:42-208``).
+* :func:`run_rtm_cpu` — full-wavefield-storage RTM, ``rtm_main``
+  (``src/rtm_main.cpp:45-282``).
+* :func:`run_rtm_gpu` — two-snapshot GPU-suite RTM with random/loaded
+  boundary velocity, ``rtm_code`` (``cuda_reference_RTM/src/fd-code.cu:380-584``).
+
+Unlike the reference's serial shot loops (``fd-code.cu:480``), shots here are
+batched with ``vmap`` (single device) or sharded over a mesh axis (see
+:mod:`.parallel.shots`) — shots are independent given their per-shot
+boundary velocities, so they map onto the device grid with zero
+communication until the final image stack.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import io, numerics
+from .config import Params, Geometry
+from .ops.stencil import laplacian
+from .solver import FDContext, forward_modeling, rtm_shot_full, rtm_shot_snapshot
+
+__all__ = ["run_stencil", "run_modeling", "run_rtm_cpu", "run_rtm_gpu",
+           "prepare_velocity_cpu", "prepare_velocities_gpu"]
+
+
+# --------------------------------------------------------------------------
+# Velocity preparation
+# --------------------------------------------------------------------------
+
+def prepare_velocity_cpu(p: Params, vp: np.ndarray) -> np.ndarray:
+    """CPU-pipeline velocity prep (``mod_main.cpp:118-126``): square the
+    interior into the extended grid, then clamp-extend the *squared* field."""
+    vel2 = np.zeros((p.nxe, p.nze), np.float32)
+    vel2[p.nxb:p.nxb + p.nx, p.nzb:p.nzb + p.nz] = vp * vp
+    return numerics.extendvel_clamp(vel2, p.nx, p.nz, p.nxb, p.nzb)
+
+
+def prepare_velocities_gpu(p: Params, vp: np.ndarray,
+                           seed: int = 0) -> np.ndarray:
+    """GPU-suite per-shot velocity prep (``fd-code.cu:442-494``): embed vp in
+    the extended grid, then per shot either load the pre-extended model from
+    ``vel_ext_file`` or generate the random linear-ramp boundary; square last.
+    Returns (ns, nxe, nze) squared velocities."""
+    if p.vel_ext_flag:
+        vpe = io.read_vel_ext(p.vel_ext_file, p.ns, p.nxe, p.nze)
+    else:
+        base = np.zeros((p.nxe, p.nze), np.float32)
+        base[p.nxb:p.nxb + p.nx, p.nzb:p.nzb + p.nz] = vp
+        vpe = np.stack([
+            numerics.extendvel_random(base, p.nx, p.nz, p.nxb, p.nzb,
+                                      seed=seed + i)
+            for i in range(p.ns)])
+    return (vpe * vpe).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Pipelines
+# --------------------------------------------------------------------------
+
+def run_stencil(p: Params, input_path: Optional[str] = None,
+                output_path: Optional[str] = None) -> np.ndarray:
+    """Single-launch Laplacian on an (nxe, nze) field read from
+    ``input_path`` (the stencil program abuses the ``tmpdir`` key as the data
+    path, ``fd-source-code.cu:43-50``). Returns the Laplacian; optionally
+    writes it raw float32 like ``output_cuda.bin``."""
+    path = input_path or p.tmpdir
+    field = io.read_velocity(path, p.nxe, p.nze)
+    cx, cz = numerics.scaled_coefficients(p.order, p.dx, p.dz)
+    lap = np.asarray(jax.jit(laplacian, static_argnames="order")(
+        jnp.asarray(field), jnp.asarray(cx), jnp.asarray(cz), order=p.order))
+    if output_path:
+        io.write_f32(output_path, lap)
+    return lap
+
+
+def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
+                 out_datfile: Optional[str] = None) -> np.ndarray:
+    """``mod_main``: model all shots, return (ns, nx, nt) gathers and
+    optionally write the raw ``datfile`` blob the RTM programs read."""
+    if vp is None:
+        vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+    vel2 = jnp.asarray(prepare_velocity_cpu(p, vp))
+    ctx = FDContext.from_params(p, exact_taper=False)
+    g = Geometry.from_params(p)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    sxs = jnp.asarray(g.sx)
+
+    run = jax.vmap(
+        lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
+                                    source="gaussian", taper="all",
+                                    record="trace")[2])
+    seis = np.asarray(run(sxs))               # (ns, nt, nx)
+    data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
+    if out_datfile:
+        io.write_f32(out_datfile, data)
+    return data
+
+
+def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
+                dobs: Optional[np.ndarray] = None,
+                outdir: Optional[str] = None):
+    """``rtm_main``: migrate all shots with full-wavefield storage.
+
+    Returns ``(img, imlocs)`` — the stacked (nx, nz) image and the (ns, nx,
+    nz) per-shot images. With ``outdir``, writes ``dir.image`` (stack) and
+    ``dir.img`` (concatenated per-shot images), byte-compatible with
+    ``rtm_main.cpp:232,247``."""
+    if vp is None:
+        vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+    if dobs is None:
+        dobs = io.read_shot_gathers(p.datfile, p.ns, p.nx, p.nt)
+    vel2 = jnp.asarray(prepare_velocity_cpu(p, vp))
+    ctx = FDContext.from_params(p, exact_taper=False)
+    g = Geometry.from_params(p)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+
+    run = jax.vmap(
+        lambda sx, d: rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz))
+    imlocs = np.asarray(run(jnp.asarray(g.sx), jnp.asarray(dobs)))
+    img = imlocs.sum(axis=0)
+    if outdir:
+        io.write_image(os.path.join(outdir, "dir.image"), img)
+        io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
+    return img, imlocs
+
+
+def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
+                dobs: Optional[np.ndarray] = None,
+                seed: int = 0, outdir: Optional[str] = None,
+                write_image_num: bool = False):
+    """``rtm_code``: two-snapshot RTM over all shots with random (or
+    file-loaded) boundary velocities.
+
+    Returns ``(img, imlocs)``. With ``outdir``, writes ``dir.image`` and
+    ``dir.image_lap`` (zeros, faithfully: the reference never fills it,
+    ``fd-code.cu:542``), and optionally the ``image.num`` cumulative text
+    dump (``fd-code.cu:522-528``)."""
+    if vp is None:
+        vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+    if dobs is None:
+        dobs = io.read_shot_gathers(p.datfile, p.ns, p.nx, p.nt)
+    vel2 = jnp.asarray(prepare_velocities_gpu(p, vp, seed=seed))
+    ctx = FDContext.from_params(p, exact_taper=True)
+    g = Geometry.from_params(p)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+
+    run = jax.vmap(
+        lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx, g.sz, g.gz))
+    imlocs = np.asarray(run(vel2, jnp.asarray(g.sx), jnp.asarray(dobs)))
+    img = imlocs.sum(axis=0)
+    if outdir:
+        io.write_image(os.path.join(outdir, "dir.image"), img)
+        io.write_image(os.path.join(outdir, "dir.image_lap"),
+                       np.zeros_like(img))
+        if write_image_num:
+            io.write_image_num(os.path.join(outdir, "image.num"),
+                               list(np.cumsum(imlocs, axis=0)))
+    return img, imlocs

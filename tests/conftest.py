@@ -4,11 +4,20 @@ driver's dryrun does."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient platform (e.g. a tunneled TPU): tests
+# exercise sharding on 8 virtual devices. Override with PFDC_TEST_PLATFORM.
+# Note: the environment's sitecustomize imports jax at interpreter start, so
+# the env var alone is too late — use jax.config as well.
+_platform = os.environ.get("PFDC_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import pathlib
 import sys

@@ -1,0 +1,117 @@
+"""End-to-end golden parity tests against the reference's shipped artifacts.
+
+The only complete runnable config in the reference is
+``dpct_gpu_rtm_domain_division/build/3lay_mod`` (inputs AND goldens), which
+gates the CPU pipeline (mod_main / rtm_main equivalents). The GPU-suite
+forward propagation is gated by the ``file-teste`` mid-run wavefield dump
+(new_mod config at it==750, ``cuda_reference_RTM/src/fd-code.cu:268-281``)
+whose inputs (``vel_ext_rnd.6``) are shipped.
+"""
+
+import numpy as np
+import pytest
+
+import parallel_finite_difference_computation_tpu as pfdc
+from parallel_finite_difference_computation_tpu import io, numerics, pipeline
+from parallel_finite_difference_computation_tpu.solver import FDContext, fd_forward
+from parallel_finite_difference_computation_tpu.config import Geometry
+
+from conftest import require_reference
+
+GOLDEN_DIR = "dpct_gpu_rtm_domain_division/build/3lay_mod"
+RMS_GATE = 1e-4
+
+
+def rel_rms(a, b):
+    return float(np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(b ** 2)))
+
+
+@pytest.fixture(scope="module")
+def golden_params():
+    root = require_reference(GOLDEN_DIR + "/input.dat",
+                             GOLDEN_DIR + "/dobs.bin",
+                             GOLDEN_DIR + "/dir.image")
+    return pfdc.parse_input_dat(str(root / GOLDEN_DIR / "input.dat"))
+
+
+class TestCPUPipelineGoldens:
+    def test_modeling_reproduces_dobs(self, golden_params):
+        p = golden_params
+        data = pipeline.run_modeling(p)
+        golden = io.read_shot_gathers(p.datfile, p.ns, p.nx, p.nt)
+        assert rel_rms(data, golden) < RMS_GATE
+
+    def test_rtm_reproduces_dir_image(self, golden_params, tmp_path):
+        p = golden_params
+        img, imlocs = pipeline.run_rtm_cpu(p, outdir=str(tmp_path))
+        root = require_reference(GOLDEN_DIR + "/dir.image",
+                                 GOLDEN_DIR + "/dir.img")
+        golden = io.read_f32(str(root / GOLDEN_DIR / "dir.image")
+                             ).reshape(p.nx, p.nz)
+        assert rel_rms(img, golden) < RMS_GATE
+        # per-shot dir.img golden (ns=1 so it equals the stack)
+        golden_loc = io.read_f32(str(root / GOLDEN_DIR / "dir.img")
+                                 ).reshape(p.ns, p.nx, p.nz)
+        assert rel_rms(imlocs, golden_loc) < RMS_GATE
+        # written artifacts byte-layout check
+        out = io.read_f32(str(tmp_path / "dir.image")).reshape(p.nx, p.nz)
+        np.testing.assert_array_equal(out, img)
+
+
+class TestGPUForwardGolden:
+    def test_file_teste_wavefield_at_750(self):
+        """GPU-suite fd_forward parity: wavefield snapshot at it==750 of the
+        new_mod config (shot 0, velocity borders loaded from vel_ext_rnd.6)
+        vs the committed ``file-teste`` text dump."""
+        root = require_reference(
+            "cuda_reference_RTM/models/new_mod/input.dat",
+            "cuda_reference_RTM/models/new_mod/vel_ext_rnd.6",
+            "cuda_reference_RTM/file-teste")
+        p = pfdc.parse_input_dat(
+            str(root / "cuda_reference_RTM/models/new_mod/input.dat"))
+        g = Geometry.from_params(p)
+        vpe = io.read_vel_ext(p.vel_ext_file, p.ns, p.nxe, p.nze)[0]
+        v2 = (vpe * vpe).astype(np.float32)
+        # only 751 steps are needed to capture it==750
+        nt_cap = 751
+        ctx = FDContext.create(p.nx, p.nz, nt_cap, p.dx, p.dz, p.dt,
+                               order=p.order, nxb=p.nxb, nzb=p.nzb,
+                               fac=p.fac, exact_taper=True)
+        wav = numerics.ricker_wavelet(nt_cap, p.dt, p.fpeak)
+        _, _, cap = fd_forward(ctx, v2, wav, g.sx[0], g.sz,
+                               capture_step=750)
+        cap = np.asarray(cap)
+        golden = np.fromstring(
+            (root / "cuda_reference_RTM/file-teste").read_text(), sep="\n"
+        ).astype(np.float32).reshape(p.nxe, p.nze)
+        # physical sanity of our propagation: finite, bounded, energetic
+        assert np.isfinite(cap).all()
+        assert 1e-3 < np.sqrt((cap ** 2).mean()) < 10.0
+        if np.count_nonzero(golden) == 0:
+            # The committed file-teste is all zeros — dumped from a broken
+            # reference run (its datfile dobs.6 is a missing blob, and a
+            # zero wavefield at it=750 is physically impossible with the
+            # shipped velocity and source). No parity gate available.
+            pytest.skip("reference file-teste artifact is all zeros")
+        assert rel_rms(cap, golden) < RMS_GATE
+
+
+class TestModelThenMigrateChain:
+    def test_synthetic_roundtrip(self):
+        """model -> migrate chain on a small synthetic 3-layer model: the
+        migrated image must light up near the true interfaces."""
+        from parallel_finite_difference_computation_tpu.models import layered_model
+        p = pfdc.Params(nz=60, nx=60, nt=301, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=25.0, ns=2, sz=0, fsx=10, ds=30, gz=0,
+                        nxb=20, nzb=20, fac=0.01, order=8)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[30])
+        data = pipeline.run_modeling(p, vp=vp)
+        assert data.shape == (2, 60, 301)
+        assert np.abs(data).max() > 0
+        img, imlocs = pipeline.run_rtm_cpu(p, vp=vp, dobs=data)
+        assert img.shape == (60, 60)
+        # interface at iz=30: the band around it should carry the
+        # largest-magnitude reflectivity away from the source region
+        band = np.abs(img[:, 25:35]).mean()
+        deep = np.abs(img[:, 45:55]).mean()
+        assert band > deep
