@@ -19,6 +19,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# persistent compilation cache: Mosaic whole-shot kernels take minutes to
+# compile through the remote-compile tunnel; cache survives across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 import parallel_finite_difference_computation_tpu as pfdc
@@ -101,6 +109,35 @@ def bench_rtm():
     return t, rel
 
 
+def bench_rtm_pallas_batched(n_shots: int = 8):
+    """Headline: whole-shot Pallas RTM (two-snapshot GPU-suite flavor; one
+    fused VMEM-resident kernel per shot) batched over ``n_shots`` with
+    lax.map — the production path. Per-shot time amortizes the one-call
+    dispatch overhead exactly as a real multi-shot survey would."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+        rtm_snapshot_pallas)
+    p, vp, dobs = _load_3lay()
+    g = p.geometry()
+    base = pipeline.prepare_velocity_cpu(p, vp)
+    ctx = FDContext.from_params(p, exact_taper=False)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    if dobs is None:
+        dobs = pipeline.run_modeling(p, vp=vp, backend="lax")
+    d = jnp.broadcast_to(jnp.asarray(dobs[0]), (n_shots,) + dobs[0].shape)
+    sxs = jnp.full((n_shots,), g.sx[0], jnp.int32)
+
+    fn = jax.jit(lambda v2s, d, sxs: jax.lax.map(
+        lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1], args[2],
+                                         g.sz, g.gz),
+        (v2s, d, sxs)))
+    make = lambda i: (
+        jnp.asarray(np.stack([base * (1 + 1e-7 * (i * n_shots + k))
+                              for k in range(n_shots)])), d, sxs)
+    t, _ = _timeit(make, fn)
+    return t / n_shots
+
+
 def bench_modeling():
     p, vp, _ = _load_3lay()
     g = p.geometry()
@@ -148,9 +185,18 @@ def main():
     details = {"device": str(dev), "platform": dev.platform}
 
     t_rtm, rel = bench_rtm()
-    details["rtm_3lay_s_per_shot"] = t_rtm
+    details["rtm_3lay_lax_s_per_shot"] = t_rtm
     details["rtm_3lay_rel_rms_vs_golden"] = rel
-    details["rtm_speedup_vs_cpu_reference"] = BASELINE_RTM_S_PER_SHOT / t_rtm
+    details["rtm_lax_speedup_vs_cpu_reference"] = BASELINE_RTM_S_PER_SHOT / t_rtm
+
+    if dev.platform == "tpu":
+        t_pallas = bench_rtm_pallas_batched()
+        details["rtm_3lay_pallas_s_per_shot_batched8"] = t_pallas
+        details["rtm_pallas_speedup_vs_cpu_reference"] = (
+            BASELINE_RTM_S_PER_SHOT / t_pallas)
+        t_headline = t_pallas
+    else:
+        t_headline = t_rtm
 
     t_mod = bench_modeling()
     details["modeling_3lay_s_per_shot"] = t_mod
@@ -165,9 +211,9 @@ def main():
 
     print(json.dumps({
         "metric": "rtm_3lay_s_per_shot",
-        "value": round(t_rtm, 4),
+        "value": round(t_headline, 4),
         "unit": "s/shot",
-        "vs_baseline": round(BASELINE_RTM_S_PER_SHOT / t_rtm, 2),
+        "vs_baseline": round(BASELINE_RTM_S_PER_SHOT / t_headline, 2),
     }))
 
 

@@ -1,0 +1,156 @@
+"""Command-line interface mirroring the reference's four programs.
+
+Usage (reference-compatible invocations):
+
+    python -m parallel_finite_difference_computation_tpu.cli stencil ./input.dat
+    python -m parallel_finite_difference_computation_tpu.cli mod par=input.dat
+    python -m parallel_finite_difference_computation_tpu.cli rtm par=input.dat
+    python -m parallel_finite_difference_computation_tpu.cli rtm_gpu ./models/<m>/input.dat
+    python -m parallel_finite_difference_computation_tpu.cli psnr file1 file2
+    python -m parallel_finite_difference_computation_tpu.cli laplace dir.image dir.imalap nz nx [dz dx]
+
+``stencil`` replaces ``stencil_code`` (``cuda_reference_stencil_computation``),
+``mod`` replaces ``mod_main``, ``rtm`` replaces ``rtm_main`` (both
+``dpct_gpu_rtm_domain_division``), ``rtm_gpu`` replaces ``rtm_code``
+(``cuda_reference_RTM``); ``psnr``/``laplace`` replace the prebuilt ELF and
+``laplace.f90``. ``par=file`` (Seismic-Unix style) and bare config paths are
+both accepted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import io, pipeline
+from .config import parse_input_dat
+
+
+def _config_arg(arg: str) -> str:
+    return arg.split("=", 1)[1] if arg.startswith("par=") else arg
+
+
+def _echo(p):
+    print(f"## vp = {p.vpfile} \n## nz = {p.nz}, nx = {p.nx}, nt = {p.nt} ")
+    print(f"## dz = {p.dz}, dx = {p.dx}, dt = {p.dt} ")
+    print(f"## ns = {p.ns}, sz = {p.sz}, fsx = {p.fsx}, ds = {p.ds}, gz = {p.gz} ")
+    print(f"## order = {p.order}, nzb = {p.nzb}, nxb = {p.nxb}, F = {p.fac} ")
+
+
+def cmd_stencil(args):
+    p = parse_input_dat(_config_arg(args.config))
+    out = args.output or "output_tpu.bin"
+    t0 = time.time()
+    lap = pipeline.run_stencil(p, output_path=out)
+    print(f"Laplacian {lap.shape} written to {out} "
+          f"({time.time() - t0:.3f}s incl. compile)")
+
+
+def cmd_mod(args):
+    p = parse_input_dat(_config_arg(args.config))
+    _echo(p)
+    out = args.output or p.datfile or "dobs.bin"
+    t0 = time.time()
+    data = pipeline.run_modeling(p, out_datfile=out, backend=args.backend)
+    print(f"> Exec time = {time.time() - t0:.2f} (s)")
+    print(f"wrote {data.shape} shot gathers to {out}")
+
+
+def cmd_rtm(args):
+    p = parse_input_dat(_config_arg(args.config))
+    _echo(p)
+    outdir = args.outdir or (p.tmpdir if p.tmpdir and os.path.isdir(p.tmpdir)
+                             else ".")
+    t0 = time.time()
+    img, imlocs = pipeline.run_rtm_cpu(p, outdir=outdir)
+    print(f"Execution Time: {time.time() - t0:.2f} seconds")
+    print(f"wrote dir.image / dir.img to {outdir}")
+
+
+def cmd_rtm_gpu(args):
+    p = parse_input_dat(_config_arg(args.config))
+    _echo(p)
+    outdir = args.outdir or (p.tmpdir if p.tmpdir and os.path.isdir(p.tmpdir)
+                             else ".")
+    t0 = time.time()
+    img, imlocs = pipeline.run_rtm_gpu(
+        p, seed=args.seed, outdir=outdir,
+        write_image_num=args.image_num, backend=args.backend)
+    print(f"> Exec time = {time.time() - t0:.2f} (s)")
+    print(f"wrote dir.image to {outdir}"
+          + (" (+ image.num)" if args.image_num else ""))
+
+
+def cmd_psnr(args):
+    from .utils.compare import rmse_psnr
+    a = io.read_f32(args.file1)
+    b = io.read_f32(args.file2)
+    r, p = rmse_psnr(a, b)
+    print(f"RMSE: {r:g}")
+    print(f"PSNR: {p:g}")
+    with open("dir.output", "w") as f:
+        f.write(f"RMSE: {r:g}\nPSNR: {p:g}\n")
+
+
+def cmd_laplace(args):
+    from .utils.compare import laplace_filter
+    img = io.read_f32(args.input).reshape(args.nx, args.nz)
+    out = laplace_filter(img, dx=args.dx, dz=args.dz)
+    io.write_f32(args.output, out)
+    print(f"wrote filtered image to {args.output}")
+
+
+def main(argv=None):
+    # honor JAX_PLATFORMS even under environments whose sitecustomize
+    # pre-imports jax (the env var alone is read too early there)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+    ap = argparse.ArgumentParser(prog="pfdc-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name, fn, needs_backend in (
+            ("stencil", cmd_stencil, False), ("mod", cmd_mod, True),
+            ("rtm", cmd_rtm, False), ("rtm_gpu", cmd_rtm_gpu, True)):
+        s = sub.add_parser(name)
+        s.add_argument("config", help="input.dat path or par=path")
+        s.add_argument("--output", default=None)
+        s.add_argument("--outdir", default=None)
+        if needs_backend:
+            s.add_argument("--backend", default="auto",
+                           choices=["auto", "lax", "pallas"])
+        if name == "rtm_gpu":
+            s.add_argument("--seed", type=int, default=0)
+            s.add_argument("--image-num", action="store_true",
+                           dest="image_num")
+        s.set_defaults(fn=fn)
+
+    s = sub.add_parser("psnr")
+    s.add_argument("file1")
+    s.add_argument("file2")
+    s.set_defaults(fn=cmd_psnr)
+
+    s = sub.add_parser("laplace")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("nx", type=int)
+    s.add_argument("nz", type=int)
+    s.add_argument("--dx", type=float, default=10.0)
+    s.add_argument("--dz", type=float, default=10.0)
+    s.set_defaults(fn=cmd_laplace)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

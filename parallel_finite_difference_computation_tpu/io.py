@@ -24,6 +24,10 @@ __all__ = [
 
 
 def read_f32(path: str, count: int = -1) -> np.ndarray:
+    if path is None:
+        raise ValueError(
+            "no file path given (the config is missing a required key, "
+            "e.g. 'datfile' for RTM or 'vpfile' for modeling)")
     return np.fromfile(path, dtype=np.float32, count=count)
 
 

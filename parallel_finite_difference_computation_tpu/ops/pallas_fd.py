@@ -1,0 +1,285 @@
+"""Fused Pallas TPU kernels: whole-shot propagation resident in VMEM.
+
+The reference executes 4-6 separate CUDA kernel launches per time step, each
+streaming the full wavefield through device memory
+(``cuda_reference_RTM/src/fd-code.cu:259-267,302-333``). On TPU the entire
+extended grid of every reference config fits in VMEM (16 MB/core), so these
+kernels run the *whole nt-step time loop inside one kernel*: wavefields live
+in VMEM scratch for the full shot, HBM is touched only for the initial
+operand load and final result store, and each step is pure VPU work on
+on-chip data. Double-buffer pointer swaps (``fd-code.cu:260-262``) become a
+two-step role-alternating unroll over two scratch buffers.
+
+Layout: kernels are **z-major** — fields are (nze, nxe) with z on sublanes
+and x on lanes — so every dynamically-indexed access (seismogram row write,
+observed-data row read, receiver-row injection at depth gz, source row at
+depth sz) is a *sublane* slice, which Mosaic supports; dynamic lane offsets
+are not allowed on TPU. The public wrappers transpose at the boundary (one
+cheap XLA transpose per shot) and keep the package-wide (nx, nz) contract.
+
+Per-shot source x positions enter as precomputed one-hot / Gaussian-column
+rows (``src_rows``), so shots with different sx share one compiled kernel.
+
+Two kernels cover the hot paths:
+
+* :func:`forward_modeling_pallas` — the mod_main/rtm_main forward loop
+  (update -> inject -> taper -> record -> swap) with on-chip seismogram
+  accumulation (``mod_main.cpp:146-168``).
+* :func:`rtm_snapshot_pallas` — the complete GPU-suite shot: fd_forward
+  (``fd-code.cu:247-288``) and fd_back (``:290-341``) including two-snapshot
+  source reconstruction, receiver injection, and imaging, in ONE kernel
+  call per shot.
+
+The full-wavefield rtm_main variant stays on the lax path
+(:func:`..solver.rtm_shot_full`) — storing nt full wavefields is inherently
+HBM-bound and XLA already streams it well.
+
+Numerics are identical to the lax path (same slice-accumulation order); the
+unit tests compare them elementwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import laplacian
+from ..solver import FDContext
+
+__all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas"]
+
+
+def _coefs(ctx: FDContext):
+    """Premultiplied coefficients as python floats (compile-time constants;
+    pallas kernels cannot capture array-valued constants). Returned in
+    z-major order: (axis0=z, axis1=x)."""
+    cx = [float(v) for v in ctx.coefs_x]
+    cz = [float(v) for v in ctx.coefs_z]
+    return cz, cx
+
+
+def _src_rows(ctx: FDContext, sx, gaussian: bool) -> jnp.ndarray:
+    """Injection rows for a source at x=sx (traced): (2r+1, nxe) Gaussian
+    columns (``ptsrc.c:51-57``) or (1, nxe) one-hot (K4). Row k corresponds
+    to depth sz-r+k."""
+    x = jnp.arange(ctx.nxe)
+    if gaussian:
+        r = ctx.source_patch.shape[0] // 2
+        dz = jnp.arange(-r, r + 1, dtype=jnp.float32)[:, None]
+        dx = (x[None, :] - sx).astype(jnp.float32)
+        rows = jnp.exp(-dz * dz - dx * dx)
+        # ptsrc contributes only within the +-r window
+        return jnp.where(jnp.abs(dx) <= r, rows, 0.0).astype(jnp.float32)
+    return (x[None, :] == sx).astype(jnp.float32)
+
+
+# ==========================================================================
+# Forward modeling (CPU-pipeline flavor) — seismogram in VMEM
+# ==========================================================================
+
+def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
+                    v2_ref, mask_ref, wav_ref, src_ref,
+                    seis_ref, pout_ref, ppout_ref, A, B):
+    """One shot of mod_main's time loop (``mod_main.cpp:146-168``), z-major.
+    Buffer roles alternate per step: even it updates B from A and records A;
+    odd it updates A from B and records B (the functional double buffer)."""
+    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    cz, cx = _coefs(ctx)
+    nt = ctx.nt
+
+    def step(src_buf, dst_buf, it):
+        """update dst from src; inject; taper both; record row gz of src."""
+        p = src_buf[:, :]
+        dst_buf[:, :] = (2.0 * p - dst_buf[:, :]
+                         + v2_ref[:, :] * dt2 * laplacian(p, cz, cx, order))
+        amp = wav_ref[it, 0]
+        dst_buf[sz - r:sz + r + 1, :] += amp * src_ref[:, :]
+        dst_buf[:, :] = dst_buf[:, :] * mask_ref[:, :]
+        tapered_p = p * mask_ref[:, :]
+        src_buf[:, :] = tapered_p
+        seis_ref[pl.ds(it, 1), :] = tapered_p[gz:gz + 1, :]
+
+    A[:, :] = jnp.zeros_like(A)
+    B[:, :] = jnp.zeros_like(B)
+
+    def pair(i, _):
+        step(A, B, 2 * i)
+        step(B, A, 2 * i + 1)
+        return 0
+
+    jax.lax.fori_loop(0, nt // 2, pair, 0)
+    if nt % 2:
+        step(A, B, nt - 1)
+    # final logical (p, pp) carry = (new field, old field) by parity
+    if nt % 2:
+        pout_ref[:, :] = B[:, :]
+        ppout_ref[:, :] = A[:, :]
+    else:
+        pout_ref[:, :] = A[:, :]
+        ppout_ref[:, :] = B[:, :]
+
+
+def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
+                            source: str = "gaussian", taper: str = "all",
+                            interpret: bool = False):
+    """VMEM-resident forward modeling. Returns ``(p, pp, seis)`` with seis
+    shaped (nt, nx) — identical contract to
+    ``solver.forward_modeling(..., record='trace')``.
+
+    ``sz``/``gz`` must be static ints (fixed acquisition depths, like the
+    reference); ``sx`` may be a traced per-shot scalar.
+    """
+    gaussian = source == "gaussian"
+    r = ctx.source_patch.shape[0] // 2 if gaussian else 0
+    mask = jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top).T
+    src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian)
+
+    kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r)
+    out_shape = (
+        jax.ShapeDtypeStruct((ctx.nt, ctx.nxe), jnp.float32),   # seis (t, x)
+        jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),  # p
+        jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),  # pp
+    )
+    seis_tx, p, pp = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
+    seis = seis_tx[:, ctx.nxb:ctx.nxb + ctx.nx]  # (nt, nx)
+    return jnp.transpose(p), jnp.transpose(pp), seis
+
+
+# ==========================================================================
+# Whole-shot two-snapshot RTM (GPU-suite flavor) — one kernel per shot
+# ==========================================================================
+
+def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
+                v2_ref, mask_ref, wav_ref, src_ref, dobs_ref,
+                imloc_ref, A, B, C, D):
+    """fd_forward + fd_back in one kernel, z-major.
+
+    Forward (``fd-code.cu:259-267``): per step swap, taper both, update,
+    point-inject. Buffer roles: even it updates A from B (post-swap p is the
+    source buffer B), odd updates B from A.
+
+    Backward (``fd-code.cu:302-333``): the source pair is seeded from the
+    forward's final two states (already sitting in A/B) and re-propagated in
+    reverse *without taper* (random-boundary quasi-reversibility); the
+    receiver pair C/D is tapered, updated, and data-injected; imaging
+    accumulates ``imloc += p * ppr`` every step (borders sliced off by the
+    caller).
+    """
+    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    cz, cx = _coefs(ctx)
+    nt = ctx.nt
+
+    def leap(dst, src):
+        s = src[:, :]
+        dst[:, :] = (2.0 * s - dst[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(s, cz, cx, order))
+
+    # ---------------- forward ----------------
+    A[:, :] = jnp.zeros_like(A)
+    B[:, :] = jnp.zeros_like(B)
+
+    def fstep(dst, src, it):
+        src[:, :] = src[:, :] * mask_ref[:, :]
+        dst[:, :] = dst[:, :] * mask_ref[:, :]
+        leap(dst, src)
+        dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
+
+    def fpair(i, _):
+        fstep(A, B, 2 * i)
+        fstep(B, A, 2 * i + 1)
+        return 0
+
+    jax.lax.fori_loop(0, nt // 2, fpair, 0)
+    if nt % 2:
+        fstep(A, B, nt - 1)
+
+    # snaps: P = final p, PP = final pp (fd-code.cu:285-286,502-507)
+    snapP, snapPP = (A, B) if nt % 2 == 0 else (B, A)
+
+    # ---------------- backward ----------------
+    # Derivation: with (p,pp) seeded so that imaging sees p=PP at it=0 and
+    # p=P at it=1, from it>=2 the source pair leapfrogs in reverse: even it
+    # updates the PP-buffer from the P-buffer and images with it; odd the
+    # mirror. The receiver pair starts from zero: even it updates D from C
+    # and images with D; odd updates C from D and images with C.
+    C[:, :] = jnp.zeros_like(C)
+    D[:, :] = jnp.zeros_like(D)
+    imloc_ref[:, :] = jnp.zeros_like(imloc_ref)
+
+    def rstep(dst, src, it):
+        src[:, :] = src[:, :] * mask_ref[:, :]
+        dst[:, :] = dst[:, :] * mask_ref[:, :]
+        leap(dst, src)
+        dst[gz:gz + 1, :] += dobs_ref[pl.ds(it, 1), :]
+
+    def image_with(pbuf, rbuf):
+        imloc_ref[:, :] += pbuf[:, :] * rbuf[:, :]
+
+    # it = 0, 1 peeled: source pair reads the snapshots directly
+    rstep(D, C, 0)
+    image_with(snapPP, D)
+    rstep(C, D, 1)
+    image_with(snapP, C)
+
+    def bpair(i, _):
+        it = 2 + 2 * i
+        leap(snapPP, snapP)
+        rstep(D, C, it)
+        image_with(snapPP, D)
+        leap(snapP, snapPP)
+        rstep(C, D, it + 1)
+        image_with(snapP, C)
+        return 0
+
+    jax.lax.fori_loop(0, (nt - 2) // 2, bpair, 0)
+    if (nt - 2) % 2:
+        leap(snapPP, snapP)
+        rstep(D, C, nt - 1)
+        image_with(snapPP, D)
+
+
+def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
+                        gz: int, interpret: bool = False):
+    """Whole-shot two-snapshot RTM in a single Pallas kernel.
+
+    Args match ``solver.rtm_shot_snapshot``: ``dobs`` is (nx, nt) observed
+    data (interior receivers); ``sz``/``gz`` static ints, ``sx`` traced.
+    Returns the (nx, nz) per-shot image.
+    """
+    mask = jnp.asarray(ctx.mask_top).T
+    src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
+    # time-major embedded receivers, pre-reversed: row it = dobs[:, nt-1-it]
+    # embedded at lanes [nxb, nxb+nx) (kernel_sism, fd-code.cu:124-131)
+    dobs_tx = jnp.zeros((ctx.nt, ctx.nxe), jnp.float32)
+    dobs_tx = jax.lax.dynamic_update_slice(
+        dobs_tx, dobs[:, ::-1].astype(jnp.float32).T, (0, ctx.nxb))
+
+    kern = functools.partial(_rtm_kernel, ctx, gz, sz)
+    imloc_ext = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
+      src_rows, dobs_tx)
+    interior = imloc_ext[ctx.nzb:ctx.nze - ctx.nzb,
+                         ctx.nxb:ctx.nxe - ctx.nxb]
+    return jnp.transpose(interior)

@@ -30,6 +30,14 @@ from .config import Params, Geometry
 from .ops.stencil import laplacian
 from .solver import FDContext, forward_modeling, rtm_shot_full, rtm_shot_snapshot
 
+
+def _use_pallas(backend: str) -> bool:
+    """Resolve backend choice: 'pallas' | 'lax' | 'auto' (pallas on TPU,
+    lax elsewhere — Mosaic kernels only compile for TPU)."""
+    if backend == "auto":
+        return jax.devices()[0].platform == "tpu"
+    return backend == "pallas"
+
 __all__ = ["run_stencil", "run_modeling", "run_rtm_cpu", "run_rtm_gpu",
            "prepare_velocity_cpu", "prepare_velocities_gpu"]
 
@@ -85,7 +93,8 @@ def run_stencil(p: Params, input_path: Optional[str] = None,
 
 
 def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
-                 out_datfile: Optional[str] = None) -> np.ndarray:
+                 out_datfile: Optional[str] = None,
+                 backend: str = "auto") -> np.ndarray:
     """``mod_main``: model all shots, return (ns, nx, nt) gathers and
     optionally write the raw ``datfile`` blob the RTM programs read."""
     if vp is None:
@@ -97,10 +106,17 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                                               truncated=True))
     sxs = jnp.asarray(g.sx)
 
-    run = jax.vmap(
-        lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
-                                    source="gaussian", taper="all",
-                                    record="trace")[2])
+    if _use_pallas(backend):
+        from .ops.pallas_fd import forward_modeling_pallas
+        run = jax.jit(lambda sxs: jax.lax.map(
+            lambda sx: forward_modeling_pallas(
+                ctx, vel2, wav, sx, g.sz, g.gz,
+                source="gaussian", taper="all")[2], sxs))
+    else:
+        run = jax.vmap(
+            lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
+                                        source="gaussian", taper="all",
+                                        record="trace")[2])
     seis = np.asarray(run(sxs))               # (ns, nt, nx)
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
     if out_datfile:
@@ -140,7 +156,7 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
 def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
                 seed: int = 0, outdir: Optional[str] = None,
-                write_image_num: bool = False):
+                write_image_num: bool = False, backend: str = "auto"):
     """``rtm_code``: two-snapshot RTM over all shots with random (or
     file-loaded) boundary velocities.
 
@@ -157,8 +173,16 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
 
-    run = jax.vmap(
-        lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx, g.sz, g.gz))
+    if _use_pallas(backend):
+        from .ops.pallas_fd import rtm_snapshot_pallas
+        run = jax.jit(lambda v2, sxs, d: jax.lax.map(
+            lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1],
+                                             args[2], g.sz, g.gz),
+            (v2, d, sxs)))
+    else:
+        run = jax.vmap(
+            lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
+                                                g.sz, g.gz))
     imlocs = np.asarray(run(vel2, jnp.asarray(g.sx), jnp.asarray(dobs)))
     img = imlocs.sum(axis=0)
     if outdir:
