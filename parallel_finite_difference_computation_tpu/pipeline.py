@@ -126,7 +126,7 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
 
 def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
-                outdir: Optional[str] = None):
+                outdir: Optional[str] = None, mesh=None):
     """``rtm_main``: migrate all shots with full-wavefield storage.
 
     Returns ``(img, imlocs)`` — the stacked (nx, nz) image and the (ns, nx,
@@ -145,7 +145,15 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
 
     run = jax.vmap(
         lambda sx, d: rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz))
-    imlocs = np.asarray(run(jnp.asarray(g.sx), jnp.asarray(dobs)))
+    sx_in, d_in = jnp.asarray(g.sx), jnp.asarray(dobs)
+    ns = p.ns
+    if mesh is not None:
+        from .parallel.shots import distribute_shots, pad_shots
+        n_dev = mesh.shape.get("shot", 1)
+        sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
+        d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
+        sx_in, d_in = distribute_shots(mesh, sx_pad, d_pad)
+    imlocs = np.asarray(run(sx_in, d_in))[:ns]
     img = imlocs.sum(axis=0)
     if outdir:
         io.write_image(os.path.join(outdir, "dir.image"), img)
@@ -156,7 +164,8 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
 def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
                 seed: int = 0, outdir: Optional[str] = None,
-                write_image_num: bool = False, backend: str = "auto"):
+                write_image_num: bool = False, backend: str = "auto",
+                mesh=None):
     """``rtm_code``: two-snapshot RTM over all shots with random (or
     file-loaded) boundary velocities.
 
@@ -173,7 +182,10 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
 
-    if _use_pallas(backend):
+    if _use_pallas(backend) and mesh is None:
+        # lax.map batching: one Mosaic kernel compile for any shot count.
+        # With a mesh, the partitionable vmap path is used instead (a
+        # sequential lax.map cannot split across devices).
         from .ops.pallas_fd import rtm_snapshot_pallas
         run = jax.jit(lambda v2, sxs, d: jax.lax.map(
             lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1],
@@ -183,7 +195,16 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
         run = jax.vmap(
             lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
                                                 g.sz, g.gz))
-    imlocs = np.asarray(run(vel2, jnp.asarray(g.sx), jnp.asarray(dobs)))
+    v_in, sx_in, d_in = vel2, jnp.asarray(g.sx), jnp.asarray(dobs)
+    ns = p.ns
+    if mesh is not None:
+        from .parallel.shots import distribute_shots, pad_shots
+        n_dev = mesh.shape.get("shot", 1)
+        v_pad, _ = pad_shots(np.asarray(vel2), n_dev)
+        sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
+        d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
+        v_in, sx_in, d_in = distribute_shots(mesh, v_pad, sx_pad, d_pad)
+    imlocs = np.asarray(run(v_in, sx_in, d_in))[:ns]
     img = imlocs.sum(axis=0)
     if outdir:
         io.write_image(os.path.join(outdir, "dir.image"), img)

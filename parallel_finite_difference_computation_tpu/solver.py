@@ -41,7 +41,7 @@ from .ops.stencil import (
 )
 
 __all__ = ["FDContext", "forward_modeling", "fd_forward", "fd_back",
-           "rtm_shot_snapshot", "rtm_shot_full"]
+           "rtm_shot_snapshot", "rtm_shot_full", "rtm_shot_checkpointed"]
 
 _F = np.float32
 
@@ -121,10 +121,11 @@ def _fd_update(ctx: FDContext, p, pp, v2):
 # -> record -> swap
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ctx", "source", "taper", "record"))
+@partial(jax.jit, static_argnames=("ctx", "source", "taper", "record",
+                                   "progress"))
 def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
                      source: str = "gaussian", taper: str = "all",
-                     record: str = "trace"):
+                     record: str = "trace", progress: bool = False):
     """Forward modeling producing synthetic shot data — ``mod_main``'s time
     loop (``mod_main.cpp:146-168``) and ``rtm_main``'s forward half
     (``rtm_main.cpp:166-188``).
@@ -142,8 +143,16 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
     mask = jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top)
     patch = jnp.asarray(ctx.source_patch)
 
-    def step(carry, amp):
+    def step(carry, xs):
+        it, amp = xs
         p, pp = carry
+        if progress:
+            # observability parity with the reference's per-100-step echo
+            # (mod_main.cpp:163, fd-code.cu:283)
+            jax.lax.cond((it + 1) % 100 == 0,
+                         lambda: jax.debug.print("* it = {} / {}",
+                                                 it + 1, ctx.nt),
+                         lambda: None)
         pp = _fd_update(ctx, p, pp, v2)
         if source == "gaussian":
             pp = inject_gaussian(pp, sx, sz, amp, patch)
@@ -161,7 +170,8 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
         return (pp, p), out
 
     init = (ctx.zero_field(), ctx.zero_field())
-    (p, pp), rec = jax.lax.scan(step, init, wavelet)
+    (p, pp), rec = jax.lax.scan(step, init,
+                                (jnp.arange(ctx.nt), wavelet))
     return p, pp, rec
 
 
@@ -218,6 +228,86 @@ def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                                  record="wavefield")
     _, _, rwf = backward_recorded(ctx, v2, dobs, gz, x_off_quirk=x_off_quirk)
     return jnp.sum(swf[::-1] * rwf, axis=0)
+
+
+@partial(jax.jit, static_argnames=("ctx", "save_every", "x_off_quirk"))
+def rtm_shot_checkpointed(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
+                          save_every: int = 32, x_off_quirk: bool = True):
+    """Save-every-k checkpointed RTM for one shot — the middle of the
+    checkpoint/recompute spectrum whose two ends the reference implements:
+    ``rtm_main`` stores all nt wavefields (``rtm_main.cpp:141,177-181``;
+    :func:`rtm_shot_full`) and ``fd_back`` stores two and relies on
+    random-boundary reversibility (``fd-code.cu:502-507``;
+    :func:`rtm_shot_snapshot`).
+
+    The forward source propagation stores its state every ``save_every``
+    steps (O(nt/k) grids); during imaging, each k-step source segment is
+    recomputed from its checkpoint (O(k) grid buffer) and correlated against
+    the receiver field propagating in reverse-data order. Identical op
+    sequence to :func:`rtm_shot_full` => numerically identical image, with
+    peak memory ~ (nt/k + k) grids instead of 2*nt, for one extra forward
+    propagation of compute.
+
+    ``save_every`` must divide nt.
+    """
+    nt, k = ctx.nt, save_every
+    if nt % k:
+        raise ValueError(f"save_every={k} must divide nt={nt}")
+    S = nt // k
+    mask = jnp.asarray(ctx.mask_top)
+    patch = jnp.asarray(ctx.source_patch)
+
+    def fwd_step(carry, amp):
+        # rtm_main forward flavor: point source, top taper, record interior
+        p, pp = carry
+        pp = _fd_update(ctx, p, pp, v2)
+        pp = inject_point(pp, sx, sz, amp)
+        pp = pp * mask
+        p = p * mask
+        rec = jax.lax.slice(p, (ctx.nxb, ctx.nzb),
+                            (ctx.nxe - ctx.nxb, ctx.nze - ctx.nzb))
+        return (pp, p), rec
+
+    wav_seg = wavelet.reshape(S, k)
+
+    def fwd_segment(carry, amps):
+        ckpt = carry
+        new_carry, _ = jax.lax.scan(fwd_step, carry, amps)
+        return new_carry, ckpt  # emit the segment-START state
+
+    init = (ctx.zero_field(), ctx.zero_field())
+    _, ckpts = jax.lax.scan(fwd_segment, init, wav_seg)  # pytree of (S, ...)
+
+    # receiver injection rows, identical to backward_recorded
+    x_off = ctx.nzb if x_off_quirk else ctx.nxb
+    dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
+                           axis=1)
+    inj = dpad[:, ::-1][:, :ctx.nt].T.reshape(S, k, -1)
+
+    def bwd_step(carry, xs):
+        inj_t, swf_frame = xs
+        pr, ppr, imloc = carry
+        ppr = _fd_update(ctx, pr, ppr, v2)
+        ppr = inject_receivers(ppr, inj_t, x_off, gz)
+        ppr = ppr * mask
+        pr = pr * mask
+        rec = jax.lax.slice(pr, (ctx.nxb, ctx.nzb),
+                            (ctx.nxe - ctx.nxb, ctx.nze - ctx.nzb))
+        imloc = imloc + swf_frame * rec
+        return (ppr, pr, imloc), None
+
+    # scan over segments in reverse source order, with explicit recompute
+    def bwd_segment(carry, xs):
+        ckpt, amps, inj_seg = xs
+        _, buf = jax.lax.scan(fwd_step, ckpt, amps)  # (k, nx, nz)
+        carry, _ = jax.lax.scan(bwd_step, carry, (inj_seg, buf[::-1]))
+        return carry, None
+
+    imloc0 = jnp.zeros((ctx.nx, ctx.nz), jnp.float32)
+    binit = (ctx.zero_field(), ctx.zero_field(), imloc0)
+    xs = (jax.tree.map(lambda a: a[::-1], ckpts), wav_seg[::-1], inj)
+    (_, _, imloc), _ = jax.lax.scan(bwd_segment, binit, xs)
+    return imloc
 
 
 # --------------------------------------------------------------------------

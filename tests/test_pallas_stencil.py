@@ -1,0 +1,34 @@
+"""Tiled Pallas Laplacian (interpret mode) vs the XLA reference op."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from parallel_finite_difference_computation_tpu import numerics
+from parallel_finite_difference_computation_tpu.ops.stencil import laplacian
+from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
+    laplacian_pallas)
+
+
+class TestTiledLaplacian:
+    @pytest.mark.parametrize("nx,nz,tile", [
+        (100, 60, 32),    # non-divisible nx -> padded final tile
+        (64, 64, 64),     # single tile
+        (130, 40, 32),    # ragged
+        (48, 100, 16),    # tile smaller than halo*2 still works (16 > 8)
+    ])
+    def test_matches_xla(self, rng, nx, nz, tile):
+        p = jnp.asarray(rng.standard_normal((nx, nz)).astype(np.float32))
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        ref = laplacian(p, cx, cz, 8)
+        got = laplacian_pallas(p, cx, cz, 8, tile=tile, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_order4(self, rng):
+        p = jnp.asarray(rng.standard_normal((96, 50)).astype(np.float32))
+        cx, cz = numerics.scaled_coefficients(4, 8.0, 25.0)
+        ref = laplacian(p, cx, cz, 4)
+        got = laplacian_pallas(p, cx, cz, 4, tile=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)

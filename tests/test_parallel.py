@@ -110,3 +110,37 @@ class TestShardedDrivers:
                                embed_dobs(ctx, dobs)))
         got = im_ext[:, ctx.nxb:ctx.nxe - ctx.nxb, ctx.nzb:ctx.nze - ctx.nzb]
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestShotDistributedPipelines:
+    def test_rtm_cpu_pipeline_with_mesh(self, mesh4, tmp_path):
+        """run_rtm_cpu with a mesh (shots sharded over devices, padded to
+        the device count) must match the single-device run."""
+        import parallel_finite_difference_computation_tpu as pfdc
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.models import layered_model
+        p = pfdc.Params(nz=24, nx=24, nt=40, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=25.0, ns=3, sz=0, fsx=2, ds=8, gz=0,
+                        nxb=8, nzb=8, fac=0.01, order=8)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+        data = pipeline.run_modeling(p, vp=vp, backend="lax")
+        img0, im0 = pipeline.run_rtm_cpu(p, vp=vp, dobs=data)
+        img1, im1 = pipeline.run_rtm_cpu(p, vp=vp, dobs=data, mesh=mesh4)
+        np.testing.assert_allclose(im1, im0, atol=1e-6)
+        np.testing.assert_allclose(img1, img0, atol=1e-5)
+
+    def test_rtm_gpu_pipeline_with_mesh(self, mesh4):
+        import parallel_finite_difference_computation_tpu as pfdc
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.models import layered_model
+        p = pfdc.Params(nz=24, nx=24, nt=40, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=25.0, ns=3, sz=0, fsx=2, ds=8, gz=0,
+                        nxb=8, nzb=8, fac=0.7, order=8)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+        rng = np.random.default_rng(3)
+        dobs = rng.standard_normal((p.ns, p.nx, p.nt)).astype(np.float32)
+        img0, im0 = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs, seed=5,
+                                         backend="lax")
+        img1, im1 = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs, seed=5,
+                                         backend="lax", mesh=mesh4)
+        np.testing.assert_allclose(im1, im0, atol=1e-6)
