@@ -21,10 +21,10 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
+
 import time
 
-import numpy as np
+
 
 from . import io, pipeline
 from .config import parse_input_dat

@@ -102,7 +102,8 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
         dst_buf[:, :] = dst_buf[:, :] * mask_ref[:, :]
         tapered_p = p * mask_ref[:, :]
         src_buf[:, :] = tapered_p
-        seis_ref[pl.ds(it, 1), :] = tapered_p[gz:gz + 1, :]
+        seis_ref[pl.ds(it, 1), :] = tapered_p[gz:gz + 1,
+                                              ctx.nxb:ctx.nxb + ctx.nx]
 
     A[:, :] = jnp.zeros_like(A)
     B[:, :] = jnp.zeros_like(B)
@@ -141,20 +142,25 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
 
     kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r)
     out_shape = (
-        jax.ShapeDtypeStruct((ctx.nt, ctx.nxe), jnp.float32),   # seis (t, x)
+        jax.ShapeDtypeStruct((ctx.nt, ctx.nx), jnp.float32),    # seis (t, x)
         jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),  # p
         jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),  # pp
     )
-    seis_tx, p, pp = pl.pallas_call(
+    seis, p, pp = pl.pallas_call(
         kern,
         out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wavelet: scalar reads
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
-    seis = seis_tx[:, ctx.nxb:ctx.nxb + ctx.nx]  # (nt, nx)
     return jnp.transpose(p), jnp.transpose(pp), seis
 
 
@@ -223,7 +229,8 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
         src[:, :] = src[:, :] * mask_ref[:, :]
         dst[:, :] = dst[:, :] * mask_ref[:, :]
         leap(dst, src)
-        dst[gz:gz + 1, :] += dobs_ref[pl.ds(it, 1), :]
+        # receiver row add at interior lanes [nxb, nxb+nx) (kernel_sism)
+        dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 
     def image_with(pbuf, rbuf):
         imloc_ref[:, :] += pbuf[:, :] * rbuf[:, :]
@@ -261,16 +268,22 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
     """
     mask = jnp.asarray(ctx.mask_top).T
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
-    # time-major embedded receivers, pre-reversed: row it = dobs[:, nt-1-it]
-    # embedded at lanes [nxb, nxb+nx) (kernel_sism, fd-code.cu:124-131)
-    dobs_tx = jnp.zeros((ctx.nt, ctx.nxe), jnp.float32)
-    dobs_tx = jax.lax.dynamic_update_slice(
-        dobs_tx, dobs[:, ::-1].astype(jnp.float32).T, (0, ctx.nxb))
+    # time-major receivers at interior width, pre-reversed: row it =
+    # dobs[:, nt-1-it]; injected at static lane offset nxb (kernel_sism,
+    # fd-code.cu:124-131)
+    dobs_tx = dobs[:, ::-1].astype(jnp.float32).T  # (nt, nx)
 
     kern = functools.partial(_rtm_kernel, ctx, gz, sz)
     imloc_ext = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wavelet: scalar reads
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),

@@ -1,5 +1,5 @@
 from .mesh import make_mesh, shot_sharding
-from .shots import distribute_shots, pad_shots
+from .shots import distribute_shots, pad_shots, make_sharded_rtm_pallas
 from .domain import (
     halo_exchange, sharded_laplacian, make_sharded_forward_modeling,
     make_sharded_rtm_snapshot, embed_source_fields, embed_dobs,

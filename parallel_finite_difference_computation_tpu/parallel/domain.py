@@ -25,12 +25,12 @@ interior extraction happens once at the end, outside ``shard_map``.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..solver import FDContext

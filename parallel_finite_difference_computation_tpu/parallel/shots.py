@@ -13,10 +13,11 @@ reduction it also places automatically). Multi-slice deployments put the
 from __future__ import annotations
 
 import jax
+
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["distribute_shots", "pad_shots"]
+__all__ = ["distribute_shots", "pad_shots", "make_sharded_rtm_pallas"]
 
 
 def pad_shots(arr: np.ndarray, n_devices: int):
@@ -36,3 +37,32 @@ def distribute_shots(mesh: Mesh, *arrays):
     shot-axis size (use :func:`pad_shots`)."""
     sharding = NamedSharding(mesh, P("shot"))
     return tuple(jax.device_put(np.asarray(a), sharding) for a in arrays)
+
+
+def make_sharded_rtm_pallas(ctx, mesh: Mesh, sz: int, gz: int,
+                            interpret: bool = False):
+    """Shot-sharded whole-shot Pallas RTM — the production multi-chip path:
+    each device runs the VMEM-resident two-snapshot RTM kernel
+    (:func:`..ops.pallas_fd.rtm_snapshot_pallas`) over its local slice of
+    shots via ``lax.map`` (one kernel compile), with the shot axis split by
+    ``shard_map`` and zero inter-device communication until the caller
+    stacks the images.
+
+    Returns ``fn(v2, dobs, sxs, wavelet) -> imlocs`` with (ns, ...) inputs,
+    ns divisible by the mesh's ``shot`` size (use :func:`pad_shots`).
+    """
+    from ..ops.pallas_fd import rtm_snapshot_pallas
+
+    def body(v2, dobs, sxs, wavelet):
+        return jax.lax.map(
+            lambda a: rtm_snapshot_pallas(ctx, a[0], wavelet, a[1], a[2],
+                                          sz, gz, interpret=interpret),
+            (v2, dobs, sxs))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shot"), P("shot"), P("shot"), P()),
+        out_specs=P("shot"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

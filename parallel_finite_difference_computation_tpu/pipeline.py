@@ -210,6 +210,10 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
         io.write_image(os.path.join(outdir, "dir.image"), img)
         io.write_image(os.path.join(outdir, "dir.image_lap"),
                        np.zeros_like(img))
+        # the reference opens these snapshot files but never writes them
+        # (fd-code.cu:466-470; committed output/ has them empty)
+        for fname in ("dir.snaps", "dir.snaps_rec", "dir.snapr"):
+            open(os.path.join(outdir, fname), "w").close()
         if write_image_num:
             io.write_image_num(os.path.join(outdir, "image.num"),
                                list(np.cumsum(imlocs, axis=0)))

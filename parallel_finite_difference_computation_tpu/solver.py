@@ -181,20 +181,23 @@ def backward_recorded(ctx: FDContext, v2, dobs, gz, x_off_quirk: bool = True):
     time-reversed observed data and record the full interior wavefield.
 
     ``dobs`` is (nx, nt). The reference injects ``dobs[is][ix][nt-it]`` — an
-    off-by-one that reads one float past each trace at it=0 (the next trace's
-    first sample, which modeling guarantees to be 0); we reproduce that as a
-    zero-padded read. It also offsets x by ``nzb`` where ``nxb`` is meant
-    (``rtm_main.cpp:202``) — benign when nxb==nzb; ``x_off_quirk`` keeps the
-    reference behavior.
+    off-by-one that at it=0 reads one float past each trace, which in the
+    contiguous ``alloc3float`` block is the *next trace's first sample* (and
+    heap/zero past the last trace); we reproduce that flat-read exactly. It
+    also offsets x by ``nzb`` where ``nxb`` is meant (``rtm_main.cpp:202``)
+    — benign when nxb==nzb; ``x_off_quirk`` keeps the reference behavior.
 
     Returns ``(p, pp, rwf)`` with rwf shaped (nt, nx, nz).
     """
     mask = jnp.asarray(ctx.mask_top)
     x_off = ctx.nzb if x_off_quirk else ctx.nxb
-    # injected[it] = dobs[:, nt-it], with dobs[:, nt] := 0 (OOB-read parity)
+    # injected[it] = dobs[:, nt-it]: build from the zero-padded reversal,
+    # then fix row it=0 to the flat-read OOB semantics (next trace's [0])
     dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
                            axis=1)
     inj = dpad[:, ::-1][:, :ctx.nt].T  # (nt, nx): inj[it] = dpad[:, nt-it]
+    oob_row = jnp.concatenate([dobs[1:, 0], jnp.zeros((1,), dobs.dtype)])
+    inj = inj.at[0].set(oob_row)
 
     def step(carry, inj_t):
         p, pp = carry
@@ -278,11 +281,14 @@ def rtm_shot_checkpointed(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     init = (ctx.zero_field(), ctx.zero_field())
     _, ckpts = jax.lax.scan(fwd_segment, init, wav_seg)  # pytree of (S, ...)
 
-    # receiver injection rows, identical to backward_recorded
+    # receiver injection rows, identical to backward_recorded (incl. the
+    # it=0 flat-read OOB quirk)
     x_off = ctx.nzb if x_off_quirk else ctx.nxb
     dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
                            axis=1)
-    inj = dpad[:, ::-1][:, :ctx.nt].T.reshape(S, k, -1)
+    inj = dpad[:, ::-1][:, :ctx.nt].T
+    oob_row = jnp.concatenate([dobs[1:, 0], jnp.zeros((1,), dobs.dtype)])
+    inj = inj.at[0].set(oob_row).reshape(S, k, -1)
 
     def bwd_step(carry, xs):
         inj_t, swf_frame = xs

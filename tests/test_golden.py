@@ -115,3 +115,30 @@ class TestModelThenMigrateChain:
         band = np.abs(img[:, 25:35]).mean()
         deep = np.abs(img[:, 45:55]).mean()
         assert band > deep
+
+
+class TestVelExtParityPath:
+    def test_new_mod_vel_ext_pipeline(self):
+        """run_rtm_gpu with the shipped pre-extended per-shot velocity file
+        (the reference's bit-parity path, fd-code.cu:483-484): vel_ext_rnd.6
+        loads as (ns, nxe, nze) and the pipeline runs end-to-end (shortened
+        nt; the config's datfile is a missing blob so data is synthetic)."""
+        root = require_reference(
+            "cuda_reference_RTM/models/new_mod/input.dat",
+            "cuda_reference_RTM/models/new_mod/vel_ext_rnd.6")
+        p = pfdc.parse_input_dat(
+            str(root / "cuda_reference_RTM/models/new_mod/input.dat"))
+        assert p.vel_ext_flag
+        vel2 = pipeline.prepare_velocities_gpu(p, None)
+        assert vel2.shape == (p.ns, p.nxe, p.nze)
+        # the interior of each shot's extension must embed sqrt->vp range
+        v = np.sqrt(vel2[0])
+        assert 100.0 < v.min() and v.max() < 8000.0
+        # shortened run end-to-end
+        p.nt = 24
+        rng = np.random.default_rng(0)
+        dobs = rng.standard_normal((p.ns, p.nx, p.nt)).astype(np.float32)
+        img, imlocs = pipeline.run_rtm_gpu(p, vp=None, dobs=dobs,
+                                           backend="lax")
+        assert img.shape == (p.nx, p.nz)
+        assert np.isfinite(img).all()

@@ -12,10 +12,10 @@ from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
 
 class TestTiledLaplacian:
     @pytest.mark.parametrize("nx,nz,tile", [
-        (100, 60, 32),    # non-divisible nx -> padded final tile
-        (64, 64, 64),     # single tile
-        (130, 40, 32),    # ragged
-        (48, 100, 16),    # tile smaller than halo*2 still works (16 > 8)
+        (100, 60, (32, 128)),     # non-divisible nx -> padded final tiles
+        (64, 64, (64, 128)),      # single tile
+        (130, 300, (32, 128)),    # ragged, multiple z tiles
+        (48, 400, (16, 128)),     # tall-z: 4 z-tiles
     ])
     def test_matches_xla(self, rng, nx, nz, tile):
         p = jnp.asarray(rng.standard_normal((nx, nz)).astype(np.float32))
@@ -29,6 +29,6 @@ class TestTiledLaplacian:
         p = jnp.asarray(rng.standard_normal((96, 50)).astype(np.float32))
         cx, cz = numerics.scaled_coefficients(4, 8.0, 25.0)
         ref = laplacian(p, cx, cz, 4)
-        got = laplacian_pallas(p, cx, cz, 4, tile=32, interpret=True)
+        got = laplacian_pallas(p, cx, cz, 4, tile=(32, 128), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)

@@ -144,3 +144,26 @@ class TestShotDistributedPipelines:
         img1, im1 = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs, seed=5,
                                          backend="lax", mesh=mesh4)
         np.testing.assert_allclose(im1, im0, atol=1e-6)
+
+
+class TestShotShardedPallas:
+    def test_matches_unsharded_pallas(self, rng, mesh4):
+        """shard_map(shot) around the whole-shot Pallas kernel (interpret
+        mode on CPU) equals the unsharded lax path."""
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_sharded_rtm_pallas)
+        ctx = _ctx(nt=12)
+        ns, sz, gz = 4, 6, 5
+        v2 = (1500.0 + 500.0 * rng.random((ns, ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
+        sxs = np.asarray([10, 12, 14, 16], np.int32)
+        fn = make_sharded_rtm_pallas(ctx, mesh4, sz, gz, interpret=True)
+        got = np.asarray(fn(v2, dobs, sxs, wav))
+        ref = np.stack([
+            np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2[i]), wav,
+                                         jnp.asarray(dobs[i]),
+                                         int(sxs[i]), sz, gz))
+            for i in range(ns)])
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
