@@ -53,6 +53,20 @@ from ..solver import FDContext
 
 __all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas"]
 
+# Mosaic's default scoped-VMEM cap is a conservative 16 MiB soft limit; the
+# hardware has more headroom, and the whole-shot kernels' working set
+# (fields + Mosaic's vector stack for the unrolled stencil taps) exceeds the
+# default on the larger reference configs (new_mod, marmousi). 64 MiB is a
+# permission, not an allocation — Mosaic still uses only what it needs.
+_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+
+
+def _compiler_params():
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+    except Exception:  # older/newer pallas API without the knob
+        return None
+
 
 def _coefs(ctx: FDContext):
     """Premultiplied coefficients as python floats (compile-time constants;
@@ -159,6 +173,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
     return jnp.transpose(p), jnp.transpose(pp), seis
@@ -290,6 +305,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
       src_rows, dobs_tx)

@@ -42,6 +42,10 @@ def _lap_tile(a, cz, cx, order):
 
 def _kernel(order, nx, nz, tx, tz, n_tz, cz, cx,
             inp_hbm, out_ref, scratch, sems):
+    """``inp_hbm`` is (n_tz, nx_pad+order, tz+order): z pre-chunked on the
+    host (overlapping halos included) so the DMA's dynamic offsets land on
+    the two leading axes only — dynamic lane-axis offsets in a DMA slice
+    crash the Mosaic compile."""
     h = order // 2
     i = pl.program_id(0)   # x-tile index
     j = pl.program_id(1)   # z-tile index
@@ -52,20 +56,21 @@ def _kernel(order, nx, nz, tx, tz, n_tz, cz, cx,
         ti = s // n_tz
         tj = jax.lax.rem(s, n_tz)
         return pltpu.make_async_copy(
-            inp_hbm.at[pl.ds(ti * tx, tx + order),
-                       pl.ds(tj * tz, tz + order)],
+            inp_hbm.at[tj, pl.ds(ti * tx, tx + order), :],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(step == 0)
     def _():
         copy_tile(0, 0).start()
 
-    slot = jax.lax.rem(step, 2)
-    copy_tile(step, slot).wait()
-
+    # issue the next tile's DMA before blocking on the current one so the
+    # copy engine streams continuously (double-buffer pattern)
     @pl.when(step + 1 < n_steps)
     def _():
         copy_tile(step + 1, jax.lax.rem(step + 1, 2)).start()
+
+    slot = jax.lax.rem(step, 2)
+    copy_tile(step, slot).wait()
 
     interior = _lap_tile(scratch[slot], cz, cx, order)
     # zero outside the global interior [h, n-h) on both axes
@@ -92,6 +97,12 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int,
     n_tz = -(-nz // tz)
     # pad with halos on top/left and halo+alignment on bottom/right
     p_pad = jnp.pad(p, ((h, n_tx * tx - nx + h), (h, n_tz * tz - nz + h)))
+    # pre-chunk z into overlapping halo windows: (n_tz, nx_pad+order, tz+order)
+    # so the kernel's DMA never computes a dynamic lane offset
+    p_chunks = jnp.stack([
+        jax.lax.slice(p_pad, (0, j * tz),
+                      (p_pad.shape[0], j * tz + tz + order))
+        for j in range(n_tz)])
 
     cz = [float(v) for v in coefs_z]
     cx = [float(v) for v in coefs_x]
@@ -108,6 +119,8 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int,
             pltpu.VMEM((2, tx + order, tz + order), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(p_pad)
+    )(p_chunks)
     return out[:nx, :nz]

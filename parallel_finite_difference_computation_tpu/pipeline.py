@@ -38,6 +38,26 @@ def _use_pallas(backend: str) -> bool:
         return jax.devices()[0].platform == "tpu"
     return backend == "pallas"
 
+
+def _run_with_fallback(run_pallas, run_lax, args, backend: str):
+    """Execute the pallas path with a lax fallback on compile failure.
+
+    Very large configs can exceed the Mosaic compiler's limits; with
+    backend='auto' the framework degrades to the XLA scan path (still
+    orders of magnitude faster than the reference) instead of failing.
+    An explicit backend='pallas' propagates the error."""
+    if run_pallas is None:
+        return np.asarray(run_lax(*args))
+    try:
+        return np.asarray(run_pallas(*args))
+    except Exception:
+        if backend == "pallas":
+            raise
+        import warnings
+        warnings.warn("pallas kernel compilation failed for this config; "
+                      "falling back to the lax path")
+        return np.asarray(run_lax(*args))
+
 __all__ = ["run_stencil", "run_modeling", "run_rtm_cpu", "run_rtm_gpu",
            "prepare_velocity_cpu", "prepare_velocities_gpu"]
 
@@ -106,18 +126,18 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                                               truncated=True))
     sxs = jnp.asarray(g.sx)
 
+    run_pallas = None
     if _use_pallas(backend):
         from .ops.pallas_fd import forward_modeling_pallas
-        run = jax.jit(lambda sxs: jax.lax.map(
+        run_pallas = jax.jit(lambda sxs: jax.lax.map(
             lambda sx: forward_modeling_pallas(
                 ctx, vel2, wav, sx, g.sz, g.gz,
                 source="gaussian", taper="all")[2], sxs))
-    else:
-        run = jax.vmap(
-            lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
-                                        source="gaussian", taper="all",
-                                        record="trace")[2])
-    seis = np.asarray(run(sxs))               # (ns, nt, nx)
+    run_lax = jax.vmap(
+        lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
+                                    source="gaussian", taper="all",
+                                    record="trace")[2])
+    seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend)  # (ns, nt, nx)
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
     if out_datfile:
         io.write_f32(out_datfile, data)
@@ -182,19 +202,19 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
 
+    run_pallas = None
     if _use_pallas(backend) and mesh is None:
         # lax.map batching: one Mosaic kernel compile for any shot count.
         # With a mesh, the partitionable vmap path is used instead (a
         # sequential lax.map cannot split across devices).
         from .ops.pallas_fd import rtm_snapshot_pallas
-        run = jax.jit(lambda v2, sxs, d: jax.lax.map(
+        run_pallas = jax.jit(lambda v2, sxs, d: jax.lax.map(
             lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1],
                                              args[2], g.sz, g.gz),
             (v2, d, sxs)))
-    else:
-        run = jax.vmap(
-            lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
-                                                g.sz, g.gz))
+    run_lax = jax.vmap(
+        lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
+                                            g.sz, g.gz))
     v_in, sx_in, d_in = vel2, jnp.asarray(g.sx), jnp.asarray(dobs)
     ns = p.ns
     if mesh is not None:
@@ -204,7 +224,8 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
         sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
         d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
         v_in, sx_in, d_in = distribute_shots(mesh, v_pad, sx_pad, d_pad)
-    imlocs = np.asarray(run(v_in, sx_in, d_in))[:ns]
+    imlocs = _run_with_fallback(run_pallas, run_lax,
+                                (v_in, sx_in, d_in), backend)[:ns]
     img = imlocs.sum(axis=0)
     if outdir:
         io.write_image(os.path.join(outdir, "dir.image"), img)

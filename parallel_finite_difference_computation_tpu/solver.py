@@ -258,7 +258,6 @@ def rtm_shot_checkpointed(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
         raise ValueError(f"save_every={k} must divide nt={nt}")
     S = nt // k
     mask = jnp.asarray(ctx.mask_top)
-    patch = jnp.asarray(ctx.source_patch)
 
     def fwd_step(carry, amp):
         # rtm_main forward flavor: point source, top taper, record interior
