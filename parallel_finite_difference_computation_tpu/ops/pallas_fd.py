@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .stencil import laplacian
 from ..solver import FDContext
 
-__all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas"]
+__all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas",
+           "fd_forward_pallas", "fd_back_pallas"]
 
 # Mosaic's default scoped-VMEM cap is a conservative 16 MiB soft limit; the
 # hardware has more headroom, and the whole-shot kernels' working set
@@ -309,6 +310,159 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
       src_rows, dobs_tx)
+    interior = imloc_ext[ctx.nzb:ctx.nze - ctx.nzb,
+                         ctx.nxb:ctx.nxe - ctx.nxb]
+    return jnp.transpose(interior)
+
+
+# ==========================================================================
+# Split kernels: fd_forward and fd_back as separate pallas calls
+# ==========================================================================
+# Same math as _rtm_kernel but one propagation per kernel — half the Mosaic
+# IR per compile, which matters for the largest configs, and a direct
+# analogue of the reference's driver split (fd_forward / fd_back,
+# fd-code.cu:247-341). Snapshots round-trip through HBM between the calls
+# (2 fields, negligible traffic).
+
+def _fwd_gpu_kernel(ctx: FDContext, sz: int,
+                    v2_ref, mask_ref, wav_ref, src_ref,
+                    pout_ref, ppout_ref, A, B):
+    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    cz, cx = _coefs(ctx)
+    nt = ctx.nt
+
+    def fstep(dst, src, it):
+        src[:, :] = src[:, :] * mask_ref[:, :]
+        dst[:, :] = dst[:, :] * mask_ref[:, :]
+        s = src[:, :]
+        dst[:, :] = (2.0 * s - dst[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(s, cz, cx, order))
+        dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
+
+    A[:, :] = jnp.zeros_like(A)
+    B[:, :] = jnp.zeros_like(B)
+
+    def fpair(i, _):
+        fstep(A, B, 2 * i)
+        fstep(B, A, 2 * i + 1)
+        return 0
+
+    jax.lax.fori_loop(0, nt // 2, fpair, 0)
+    if nt % 2:
+        fstep(A, B, nt - 1)
+    snapP, snapPP = (A, B) if nt % 2 == 0 else (B, A)
+    pout_ref[:, :] = snapP[:, :]
+    ppout_ref[:, :] = snapPP[:, :]
+
+
+def _bwd_gpu_kernel(ctx: FDContext, gz: int,
+                    v2_ref, mask_ref, snapP_in, snapPP_in, dobs_ref,
+                    imloc_ref, A, B, C, D):
+    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    cz, cx = _coefs(ctx)
+    nt = ctx.nt
+
+    def leap(dst, src):
+        s = src[:, :]
+        dst[:, :] = (2.0 * s - dst[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(s, cz, cx, order))
+
+    snapP, snapPP = A, B
+    snapP[:, :] = snapP_in[:, :]
+    snapPP[:, :] = snapPP_in[:, :]
+    C[:, :] = jnp.zeros_like(C)
+    D[:, :] = jnp.zeros_like(D)
+    imloc_ref[:, :] = jnp.zeros_like(imloc_ref)
+
+    def rstep(dst, src, it):
+        src[:, :] = src[:, :] * mask_ref[:, :]
+        dst[:, :] = dst[:, :] * mask_ref[:, :]
+        leap(dst, src)
+        dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
+
+    def image_with(pbuf, rbuf):
+        imloc_ref[:, :] += pbuf[:, :] * rbuf[:, :]
+
+    rstep(D, C, 0)
+    image_with(snapPP, D)
+    rstep(C, D, 1)
+    image_with(snapP, C)
+
+    def bpair(i, _):
+        it = 2 + 2 * i
+        leap(snapPP, snapP)
+        rstep(D, C, it)
+        image_with(snapPP, D)
+        leap(snapP, snapPP)
+        rstep(C, D, it + 1)
+        image_with(snapP, C)
+        return 0
+
+    jax.lax.fori_loop(0, (nt - 2) // 2, bpair, 0)
+    if (nt - 2) % 2:
+        leap(snapPP, snapP)
+        rstep(D, C, nt - 1)
+        image_with(snapPP, D)
+
+
+def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
+                      interpret: bool = False):
+    """GPU-suite forward propagation as one VMEM-resident kernel
+    (``fd_forward``, ``fd-code.cu:247-288``). Returns the final two
+    wavefield states ``(p, pp)`` in (nx, nz) layout — the snapshots consumed
+    by :func:`fd_back_pallas`."""
+    mask = jnp.asarray(ctx.mask_top).T
+    src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
+    kern = functools.partial(_fwd_gpu_kernel, ctx, sz)
+    p, pp = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
+                   jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
+    return jnp.transpose(p), jnp.transpose(pp)
+
+
+def fd_back_pallas(ctx: FDContext, v2, snap_p, snap_pp, dobs, gz: int,
+                   interpret: bool = False):
+    """GPU-suite backward propagation + imaging as one VMEM-resident kernel
+    (``fd_back``, ``fd-code.cu:290-341``). ``snap_p``/``snap_pp`` are the
+    (nx, nz)-layout outputs of :func:`fd_forward_pallas`; ``dobs`` is
+    (nx, nt). Returns the (nx, nz) per-shot image."""
+    mask = jnp.asarray(ctx.mask_top).T
+    dobs_tx = dobs[:, ::-1].astype(jnp.float32).T  # (nt, nx)
+    kern = functools.partial(_bwd_gpu_kernel, ctx, gz)
+    imloc_ext = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(jnp.transpose(v2), mask, jnp.transpose(snap_p),
+      jnp.transpose(snap_pp), dobs_tx)
     interior = imloc_ext[ctx.nzb:ctx.nze - ctx.nzb,
                          ctx.nxb:ctx.nxe - ctx.nxb]
     return jnp.transpose(interior)

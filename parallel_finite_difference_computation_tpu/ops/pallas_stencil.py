@@ -40,12 +40,13 @@ def _lap_tile(a, cz, cx, order):
     return acz + acx
 
 
-def _kernel(order, nx, nz, tx, tz, n_tz, cz, cx,
+def _kernel(order, nx, nz, tx, tz, n_tz, nxp, cz, cx,
             inp_hbm, out_ref, scratch, sems):
-    """``inp_hbm`` is (n_tz, nx_pad+order, tz+order): z pre-chunked on the
-    host (overlapping halos included) so the DMA's dynamic offsets land on
-    the two leading axes only — dynamic lane-axis offsets in a DMA slice
-    crash the Mosaic compile."""
+    """``inp_hbm`` is (n_tz * nxp, tz+order): the z-chunks (with overlapping
+    halos baked in) concatenated along the row axis, so every DMA is a
+    single dynamic *row* slice of a 2D HBM ref — the one slicing pattern the
+    Mosaic compiler accepts for DMA here (3D refs and lane-axis dynamic
+    offsets both crash it)."""
     h = order // 2
     i = pl.program_id(0)   # x-tile index
     j = pl.program_id(1)   # z-tile index
@@ -56,7 +57,7 @@ def _kernel(order, nx, nz, tx, tz, n_tz, cz, cx,
         ti = s // n_tz
         tj = jax.lax.rem(s, n_tz)
         return pltpu.make_async_copy(
-            inp_hbm.at[tj, pl.ds(ti * tx, tx + order), :],
+            inp_hbm.at[pl.ds(tj * nxp + ti * tx, tx + order), :],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(step == 0)
@@ -97,16 +98,18 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int,
     n_tz = -(-nz // tz)
     # pad with halos on top/left and halo+alignment on bottom/right
     p_pad = jnp.pad(p, ((h, n_tx * tx - nx + h), (h, n_tz * tz - nz + h)))
-    # pre-chunk z into overlapping halo windows: (n_tz, nx_pad+order, tz+order)
-    # so the kernel's DMA never computes a dynamic lane offset
-    p_chunks = jnp.stack([
-        jax.lax.slice(p_pad, (0, j * tz),
-                      (p_pad.shape[0], j * tz + tz + order))
-        for j in range(n_tz)])
+    # pre-chunk z into overlapping halo windows and concatenate them along
+    # the row axis: (n_tz * nxp, tz+order), so the kernel's DMA is always a
+    # dynamic row slice of a 2D ref
+    nxp = p_pad.shape[0]
+    p_chunks = jnp.concatenate([
+        jax.lax.slice(p_pad, (0, j * tz), (nxp, j * tz + tz + order))
+        for j in range(n_tz)], axis=0)
 
     cz = [float(v) for v in coefs_z]
     cx = [float(v) for v in coefs_x]
-    kern = functools.partial(_kernel, order, nx, nz, tx, tz, n_tz, cz, cx)
+    kern = functools.partial(_kernel, order, nx, nz, tx, tz, n_tz, nxp,
+                             cz, cx)
 
     out = pl.pallas_call(
         kern,

@@ -39,13 +39,15 @@ def _use_pallas(backend: str) -> bool:
     return backend == "pallas"
 
 
-def _run_with_fallback(run_pallas, run_lax, args, backend: str):
-    """Execute the pallas path with a lax fallback on compile failure.
+def _run_with_fallback(run_pallas, run_lax, args, backend: str,
+                       run_pallas_split=None):
+    """Execute the pallas path with fallbacks on compile failure.
 
     Very large configs can exceed the Mosaic compiler's limits; with
-    backend='auto' the framework degrades to the XLA scan path (still
-    orders of magnitude faster than the reference) instead of failing.
-    An explicit backend='pallas' propagates the error."""
+    backend='auto' the framework tries the whole-shot kernel, then the
+    split forward/backward kernels (half the IR per compile), then the XLA
+    scan path (still orders of magnitude faster than the reference). An
+    explicit backend='pallas' propagates the first error."""
     if run_pallas is None:
         return np.asarray(run_lax(*args))
     try:
@@ -54,6 +56,13 @@ def _run_with_fallback(run_pallas, run_lax, args, backend: str):
         if backend == "pallas":
             raise
         import warnings
+        if run_pallas_split is not None:
+            warnings.warn("whole-shot pallas kernel failed to compile; "
+                          "trying split forward/backward kernels")
+            try:
+                return np.asarray(run_pallas_split(*args))
+            except Exception:
+                pass
         warnings.warn("pallas kernel compilation failed for this config; "
                       "falling back to the lax path")
         return np.asarray(run_lax(*args))
@@ -203,14 +212,22 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
 
     run_pallas = None
+    run_split = None
     if _use_pallas(backend) and mesh is None:
         # lax.map batching: one Mosaic kernel compile for any shot count.
         # With a mesh, the partitionable vmap path is used instead (a
         # sequential lax.map cannot split across devices).
-        from .ops.pallas_fd import rtm_snapshot_pallas
+        from .ops.pallas_fd import (rtm_snapshot_pallas, fd_forward_pallas,
+                                    fd_back_pallas)
         run_pallas = jax.jit(lambda v2, sxs, d: jax.lax.map(
             lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1],
                                              args[2], g.sz, g.gz),
+            (v2, d, sxs)))
+        run_split = jax.jit(lambda v2, sxs, d: jax.lax.map(
+            lambda args: fd_back_pallas(
+                ctx, args[0],
+                *fd_forward_pallas(ctx, args[0], wav, args[2], g.sz),
+                args[1], g.gz),
             (v2, d, sxs)))
     run_lax = jax.vmap(
         lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
@@ -225,7 +242,8 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
         d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
         v_in, sx_in, d_in = distribute_shots(mesh, v_pad, sx_pad, d_pad)
     imlocs = _run_with_fallback(run_pallas, run_lax,
-                                (v_in, sx_in, d_in), backend)[:ns]
+                                (v_in, sx_in, d_in), backend,
+                                run_pallas_split=run_split)[:ns]
     img = imlocs.sum(axis=0)
     if outdir:
         io.write_image(os.path.join(outdir, "dir.image"), img)

@@ -71,3 +71,25 @@ class TestRTMSnapshotPallas:
         np.testing.assert_allclose(rows[:, sx - 3:sx + 4], patch.T, rtol=1e-5)
         # zero outside the window
         assert rows[:, :sx - 3].max() == 0 and rows[:, sx + 4:].max() == 0
+
+
+class TestSplitKernels:
+    @pytest.mark.parametrize("nt", [10, 11])
+    def test_split_matches_whole(self, rng, nt):
+        """fd_forward_pallas + fd_back_pallas == rtm_snapshot_pallas == lax."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            fd_forward_pallas, fd_back_pallas)
+        from parallel_finite_difference_computation_tpu.solver import (
+            fd_forward, fd_back)
+        ctx, v2, wav = _setup(nt, rng)
+        sx, sz, gz = 20, 12, 9
+        dobs = jnp.asarray(
+            rng.standard_normal((ctx.nx, nt)).astype(np.float32))
+        p0, pp0 = fd_forward(ctx, v2, wav, sx, sz)
+        p1, pp1 = fd_forward_pallas(ctx, v2, wav, sx, sz, interpret=True)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pp1), np.asarray(pp0), atol=1e-5)
+        im0 = fd_back(ctx, v2, p0, pp0, dobs, gz)
+        im1 = fd_back_pallas(ctx, v2, p1, pp1, dobs, gz, interpret=True)
+        np.testing.assert_allclose(np.asarray(im1), np.asarray(im0),
+                                   rtol=1e-4, atol=1e-5)
