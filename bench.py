@@ -153,6 +153,35 @@ def bench_modeling():
     return t
 
 
+def bench_marmousi():
+    """Flagship-scale RTM (marmousi, 449x455, nt=3004) on the lax path,
+    gated against outputs regenerated from the reference's own binaries
+    (scripts/make_reference_baselines.sh). Returns (s_per_shot, rel_rms)
+    or None when the regenerated artifacts are absent."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".baseline_build", "runmarm")
+    if not os.path.exists(os.path.join(d, "dado_teste.bin")):
+        return None
+    from parallel_finite_difference_computation_tpu.solver import rtm_shot_full as _rtm
+    p = pfdc.parse_input_dat(os.path.join(d, "input.dat"))
+    g = p.geometry()
+    vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+    base = pipeline.prepare_velocity_cpu(p, vp)
+    ctx = FDContext.from_params(p, exact_taper=False)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    dobs = jnp.asarray(io.read_shot_gathers(
+        os.path.join(d, "dado_teste.bin"), p.ns, p.nx, p.nt)[0])
+    fn = lambda v: _rtm(ctx, v, wav, dobs, g.sx[0], g.sz, g.gz)
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    t, _ = _timeit(make, fn)
+    ref_img = io.read_f32(os.path.join(d, "dir.image")).reshape(p.nx, p.nz)
+    img = np.asarray(fn(jnp.asarray(base)))
+    rel = float(np.sqrt(np.mean((img - ref_img) ** 2))
+                / np.sqrt(np.mean(ref_img ** 2)))
+    return t, rel
+
+
 def bench_stencil(repeats: int = 50):
     """Laplacian on the stencil benchmark's own 415x295 grid
     (cuda_reference_stencil_computation), reported as GCell-updates/s.
@@ -205,6 +234,12 @@ def main():
     gcell, t_st = bench_stencil()
     details["stencil_gcell_per_s"] = gcell
     details["stencil_single_launch_s"] = t_st
+
+    marm = bench_marmousi()
+    if marm:
+        details["rtm_marmousi_s_per_shot"] = marm[0]
+        details["rtm_marmousi_rel_rms_vs_reference_run"] = marm[1]
+        details["rtm_marmousi_speedup_vs_cpu_reference"] = 153.6 / marm[0]
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

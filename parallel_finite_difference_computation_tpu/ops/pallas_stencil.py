@@ -46,32 +46,37 @@ def _kernel(order, nx, nz, tx, tz, n_tz, nxp, cz, cx,
     halos baked in) concatenated along the row axis, so every DMA is a
     single dynamic *row* slice of a 2D HBM ref — the one slicing pattern the
     Mosaic compiler accepts for DMA here (3D refs and lane-axis dynamic
-    offsets both crash it)."""
+    offsets both crash it). DMA offsets are kept affine in the program ids
+    (no traced floordiv): the next tile within a row is (i, j+1) and the
+    row boundary prefetches (i+1, 0)."""
     h = order // 2
     i = pl.program_id(0)   # x-tile index
     j = pl.program_id(1)   # z-tile index
     step = i * n_tz + j
-    n_steps = pl.num_programs(0) * pl.num_programs(1)
 
-    def copy_tile(s, slot):
-        ti = s // n_tz
-        tj = jax.lax.rem(s, n_tz)
+    def copy_ij(ti, tj, slot):
         return pltpu.make_async_copy(
             inp_hbm.at[pl.ds(tj * nxp + ti * tx, tx + order), :],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(step == 0)
     def _():
-        copy_tile(0, 0).start()
+        copy_ij(0, 0, 0).start()
 
     # issue the next tile's DMA before blocking on the current one so the
     # copy engine streams continuously (double-buffer pattern)
-    @pl.when(step + 1 < n_steps)
+    next_slot = jax.lax.rem(step + 1, 2)
+
+    @pl.when(j + 1 < n_tz)
     def _():
-        copy_tile(step + 1, jax.lax.rem(step + 1, 2)).start()
+        copy_ij(i, j + 1, next_slot).start()
+
+    @pl.when((j + 1 == n_tz) & (i + 1 < pl.num_programs(0)))
+    def _():
+        copy_ij(i + 1, 0, next_slot).start()
 
     slot = jax.lax.rem(step, 2)
-    copy_tile(step, slot).wait()
+    copy_ij(i, j, slot).wait()
 
     interior = _lap_tile(scratch[slot], cz, cx, order)
     # zero outside the global interior [h, n-h) on both axes
@@ -114,7 +119,7 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int,
     out = pl.pallas_call(
         kern,
         grid=(n_tx, n_tz),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((tx, tz), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tx * tx, n_tz * tz), jnp.float32),
