@@ -7,7 +7,7 @@ Usage (reference-compatible invocations):
     python -m parallel_finite_difference_computation_tpu.cli rtm par=input.dat
     python -m parallel_finite_difference_computation_tpu.cli rtm_gpu ./models/<m>/input.dat
     python -m parallel_finite_difference_computation_tpu.cli psnr file1 file2
-    python -m parallel_finite_difference_computation_tpu.cli laplace dir.image dir.imalap nz nx [dz dx]
+    python -m parallel_finite_difference_computation_tpu.cli laplace dir.image dir.imalap nx nz [--dx D --dz D]
 
 ``stencil`` replaces ``stencil_code`` (``cuda_reference_stencil_computation``),
 ``mod`` replaces ``mod_main``, ``rtm`` replaces ``rtm_main`` (both
