@@ -34,6 +34,8 @@ from parallel_finite_difference_computation_tpu import io, numerics, pipeline
 from parallel_finite_difference_computation_tpu.solver import (
     FDContext, forward_modeling, rtm_shot_full)
 from parallel_finite_difference_computation_tpu.ops.stencil import laplacian
+from parallel_finite_difference_computation_tpu.utils.profiling import (
+    sync as _sync, timeit as _prof_timeit)
 
 REFERENCE = os.environ.get("PFDC_REFERENCE_ROOT", "/root/reference")
 GOLDEN = os.path.join(REFERENCE, "dpct_gpu_rtm_domain_division/build/3lay_mod")
@@ -42,31 +44,9 @@ BASELINE_RTM_S_PER_SHOT = 9.05   # BASELINE_LOCAL.json: rtm_main 3lay, 1 shot
 BASELINE_MOD_S_PER_SHOT = 4.58   # mod_main 3lay, 1 shot
 
 
-def _sync(x):
-    """Force completion with a scalar readback. Needed because on the
-    tunneled (axon) TPU platform ``block_until_ready`` returns before remote
-    execution completes, and repeated identical calls are served from a
-    result cache — so timings must use distinct inputs and a device->host
-    readback as the fence."""
-    return float(jnp.sum(x))
-
-
 def _timeit(make_args, fn, warmup=1, iters=3):
-    """Time ``fn(*make_args(i))`` with a fresh input per iteration and a
-    readback fence. ``make_args(i)`` must return device-ready args that
-    differ per ``i``."""
-    for i in range(warmup):
-        _sync(fn(*make_args(-1 - i)))
-    times = []
-    out = None
-    for i in range(iters):
-        args = make_args(i)
-        _ = [_sync(a) for a in args if hasattr(a, "shape")]
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _sync(out)
-        times.append(time.perf_counter() - t0)
-    return min(times), out
+    """utils.profiling.timeit with bench's historical (time, None) shape."""
+    return _prof_timeit(make_args, fn, warmup=warmup, iters=iters), None
 
 
 def _load_3lay():

@@ -72,18 +72,20 @@ def write_image_num(path: str, per_shot_cumulative: list, fmt: str = " %f \n") -
     """Text observability dump compatible with ``image.num``
     (``fd-code.cu:522-528``): per shot, a ``======== <is> ========`` header
     followed by the cumulative stacked image, one ``" %f \\n"`` value per
-    line in x-major order.
+    line. The reference iterates iz outer / ix inner, i.e. column-major
+    over the (nx, nz) image — hence the Fortran-order ravel.
     """
-    try:
-        from .utils.native import write_image_num_native
-        if write_image_num_native(path, per_shot_cumulative):
-            return
-    except Exception:
-        pass
+    if fmt == " %f \n":  # the native fast path hardcodes the default format
+        try:
+            from .utils.native import write_image_num_native
+            if write_image_num_native(path, per_shot_cumulative):
+                return
+        except Exception:
+            pass
     with open(path, "w") as f:
         for i, img in enumerate(per_shot_cumulative):
             f.write(f"======== {i} ========\n")
-            flat = np.asarray(img, dtype=np.float32).ravel()
+            flat = np.asarray(img, dtype=np.float32).ravel(order="F")
             f.write("".join(fmt % v for v in flat))
 
 

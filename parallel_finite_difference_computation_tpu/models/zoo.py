@@ -56,5 +56,8 @@ def load_reference_model(name: str, reference_root: str = "/root/reference"):
     d = os.path.join(reference_root, sub)
     cfg = os.path.join(d, "input.dat")
     p = parse_input_dat(cfg) if os.path.exists(cfg) else Params(nx=nx, nz=nz)
-    vp = io.read_velocity(os.path.join(d, fname), p.nx or nx, p.nz or nz)
+    # missing keys parse as -1 (truthy), so guard explicitly
+    nx_eff = p.nx if p.nx > 0 else nx
+    nz_eff = p.nz if p.nz > 0 else nz
+    vp = io.read_velocity(os.path.join(d, fname), nx_eff, nz_eff)
     return p, vp

@@ -57,8 +57,9 @@ __all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas",
 # Mosaic's default scoped-VMEM cap is a conservative 16 MiB soft limit; the
 # hardware has more headroom, and the whole-shot kernels' working set
 # (fields + Mosaic's vector stack for the unrolled stencil taps) exceeds the
-# default on the larger reference configs (new_mod, marmousi). 64 MiB is a
-# permission, not an allocation — Mosaic still uses only what it needs.
+# default on the larger reference configs. 32 MiB is the validated value
+# (new_mod compiles and runs with it) and is a permission, not an
+# allocation — Mosaic still uses only what it needs.
 _VMEM_LIMIT_BYTES = 32 * 1024 * 1024
 
 

@@ -52,19 +52,20 @@ def _run_with_fallback(run_pallas, run_lax, args, backend: str,
         return np.asarray(run_lax(*args))
     try:
         return np.asarray(run_pallas(*args))
-    except Exception:
+    except Exception as e:
         if backend == "pallas":
             raise
         import warnings
+        first_err = f"{type(e).__name__}: {str(e)[:200]}"
         if run_pallas_split is not None:
-            warnings.warn("whole-shot pallas kernel failed to compile; "
-                          "trying split forward/backward kernels")
+            warnings.warn("whole-shot pallas kernel failed "
+                          f"({first_err}); trying split kernels")
             try:
                 return np.asarray(run_pallas_split(*args))
-            except Exception:
-                pass
-        warnings.warn("pallas kernel compilation failed for this config; "
-                      "falling back to the lax path")
+            except Exception as e2:
+                first_err += f"; split: {type(e2).__name__}: {str(e2)[:200]}"
+        warnings.warn("pallas compilation failed for this config "
+                      f"({first_err}); falling back to the lax path")
         return np.asarray(run_lax(*args))
 
 __all__ = ["run_stencil", "run_modeling", "run_rtm_cpu", "run_rtm_gpu",
@@ -213,6 +214,12 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
 
     run_pallas = None
     run_split = None
+    if _use_pallas(backend) and mesh is not None:
+        # shot-sharded whole-shot kernels: each device runs its local shots
+        # (parallel/shots.py:make_sharded_rtm_pallas)
+        from .parallel.shots import make_sharded_rtm_pallas
+        _sharded = make_sharded_rtm_pallas(ctx, mesh, g.sz, g.gz)
+        run_pallas = lambda v2, sxs, d: _sharded(v2, d, sxs, wav)
     if _use_pallas(backend) and mesh is None:
         # lax.map batching: one Mosaic kernel compile for any shot count.
         # With a mesh, the partitionable vmap path is used instead (a

@@ -70,7 +70,8 @@ def write_image_num_native(path: str, sections) -> bool:
     if lib is None:
         return False
     for i, img in enumerate(sections):
-        flat = np.ascontiguousarray(img, dtype=np.float32).ravel()
+        # reference emission order is iz outer / ix inner (fd-code.cu:522)
+        flat = np.asarray(img, dtype=np.float32).ravel(order="F").copy()
         rc = lib.pfdc_write_image_num_section(
             path.encode(), 1 if i else 0, i, _fptr(flat), flat.size)
         if rc:

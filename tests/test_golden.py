@@ -166,3 +166,34 @@ class TestMarmousiRegeneratedBaseline:
         img, _ = pipeline.run_rtm_cpu(p, vp=vp, dobs=ref_d)
         ref_img = io.read_f32(str(d / "dir.image")).reshape(p.nx, p.nz)
         assert rel_rms(img, ref_img) < RMS_GATE
+
+
+class TestImageNumFormat:
+    def test_reference_image_num_parses(self):
+        """Format-level gate against the committed new_mod image.num
+        (its values need the missing dobs.6 blob, but structure is fixed:
+        ns=6 cumulative sections of nx*nz values each)."""
+        root = require_reference("cuda_reference_RTM/image.num")
+        secs = io.read_image_num(str(root / "cuda_reference_RTM/image.num"))
+        assert len(secs) == 6
+        assert all(s.size == 315 * 195 for s in secs)
+        # cumulative stacking: energy is non-decreasing across sections
+        norms = [float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+                 for s in secs]
+        assert all(b >= a * 0.5 for a, b in zip(norms, norms[1:]))
+
+    def test_our_writer_matches_reference_structure(self, tmp_path):
+        rng = np.random.default_rng(0)
+        imgs = [rng.standard_normal((7, 5)).astype(np.float32)
+                for _ in range(3)]
+        path = str(tmp_path / "image.num")
+        io.write_image_num(path, imgs)
+        lines = open(path).read().splitlines()
+        headers = [i for i, l in enumerate(lines) if l.startswith("========")]
+        assert len(headers) == 3
+        assert lines[headers[0]] == "======== 0 ========"
+        # reference value lines are " %f \n" -> leading+trailing space
+        assert lines[1].startswith(" ") and lines[1].endswith(" ")
+        secs = io.read_image_num(path)
+        np.testing.assert_allclose(
+            secs[0], imgs[0].ravel(order="F"), rtol=1e-5, atol=1e-6)

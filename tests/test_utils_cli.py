@@ -62,12 +62,24 @@ class TestImageNumNative:
         p_nat = str(tmp_path / "native.num")
         p_py = str(tmp_path / "python.num")
         assert native.write_image_num_native(p_nat, imgs)
-        # force the python fallback
+        # force the python fallback; the reference emits iz outer / ix
+        # inner (fd-code.cu:522-528) = Fortran order over (nx, nz)
         with open(p_py, "w") as f:
             for i, img in enumerate(imgs):
                 f.write(f"======== {i} ========\n")
-                f.write("".join(" %f \n" % v for v in img.ravel()))
+                f.write("".join(" %f \n" % v
+                                for v in img.ravel(order="F")))
         assert open(p_nat).read() == open(p_py).read()
+
+    def test_emission_order_matches_reference_loop(self, tmp_path):
+        """Values must appear in the reference's iz-outer/ix-inner order."""
+        from parallel_finite_difference_computation_tpu import io as pio
+        img = np.arange(6, dtype=np.float32).reshape(2, 3)  # (nx=2, nz=3)
+        path = str(tmp_path / "order.num")
+        pio.write_image_num(path, [img])
+        vals = [float(l) for l in open(path).read().splitlines()[1:] if l.strip()]
+        expect = [img[ix, iz] for iz in range(3) for ix in range(2)]
+        assert vals == expect
 
 
 class TestCLI:
