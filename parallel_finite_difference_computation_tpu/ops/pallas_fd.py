@@ -70,6 +70,14 @@ def _compiler_params():
         return None
 
 
+def _wav_space(nt: int):
+    """Wavelet (nt, 1) placement: SMEM scalars are stored at coarse
+    granularity and the SMEM budget is ~1 MiB, which overflows around
+    nt~2000; larger wavelets live in VMEM (dynamic-sublane scalar reads
+    work there too)."""
+    return pltpu.SMEM if nt <= 1800 else pltpu.VMEM
+
+
 def _coefs(ctx: FDContext):
     """Premultiplied coefficients as python floats (compile-time constants;
     pallas kernels cannot capture array-valued constants). Returned in
@@ -109,13 +117,16 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
     nt = ctx.nt
 
     def step(src_buf, dst_buf, it):
-        """update dst from src; inject; taper both; record row gz of src."""
+        """update dst from src; inject; taper both; record row gz of src.
+        The new field's taper is fused with the injection into one
+        read-modify-write: (update + inject) * mask, same value order as
+        the reference's separate passes."""
         p = src_buf[:, :]
-        dst_buf[:, :] = (2.0 * p - dst_buf[:, :]
-                         + v2_ref[:, :] * dt2 * laplacian(p, cz, cx, order))
+        upd = (2.0 * p - dst_buf[:, :]
+               + v2_ref[:, :] * dt2 * laplacian(p, cz, cx, order))
         amp = wav_ref[it, 0]
-        dst_buf[sz - r:sz + r + 1, :] += amp * src_ref[:, :]
-        dst_buf[:, :] = dst_buf[:, :] * mask_ref[:, :]
+        upd = upd.at[sz - r:sz + r + 1, :].add(amp * src_ref[:, :])
+        dst_buf[:, :] = upd * mask_ref[:, :]
         tapered_p = p * mask_ref[:, :]
         src_buf[:, :] = tapered_p
         seis_ref[pl.ds(it, 1), :] = tapered_p[gz:gz + 1,
@@ -168,7 +179,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # wavelet: scalar reads
+            pl.BlockSpec(memory_space=_wav_space(ctx.nt)),  # wavelet
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -215,9 +226,13 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     B[:, :] = jnp.zeros_like(B)
 
     def fstep(dst, src, it):
-        src[:, :] = src[:, :] * mask_ref[:, :]
-        dst[:, :] = dst[:, :] * mask_ref[:, :]
-        leap(dst, src)
+        # taper fused into the update: one read-modify-write per buffer per
+        # step instead of separate taper passes (same operand values/order
+        # as taper-then-update, so results are bitwise identical)
+        sm = src[:, :] * mask_ref[:, :]
+        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+        src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
     def fpair(i, _):
@@ -243,9 +258,10 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     imloc_ref[:, :] = jnp.zeros_like(imloc_ref)
 
     def rstep(dst, src, it):
-        src[:, :] = src[:, :] * mask_ref[:, :]
-        dst[:, :] = dst[:, :] * mask_ref[:, :]
-        leap(dst, src)
+        sm = src[:, :] * mask_ref[:, :]
+        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+        src[:, :] = sm
         # receiver row add at interior lanes [nxb, nxb+nx) (kernel_sism)
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 
@@ -297,7 +313,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # wavelet: scalar reads
+            pl.BlockSpec(memory_space=_wav_space(ctx.nt)),  # wavelet
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -333,11 +349,10 @@ def _fwd_gpu_kernel(ctx: FDContext, sz: int,
     nt = ctx.nt
 
     def fstep(dst, src, it):
-        src[:, :] = src[:, :] * mask_ref[:, :]
-        dst[:, :] = dst[:, :] * mask_ref[:, :]
-        s = src[:, :]
-        dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(s, cz, cx, order))
+        sm = src[:, :] * mask_ref[:, :]
+        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+        src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
     A[:, :] = jnp.zeros_like(A)
@@ -376,9 +391,10 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     imloc_ref[:, :] = jnp.zeros_like(imloc_ref)
 
     def rstep(dst, src, it):
-        src[:, :] = src[:, :] * mask_ref[:, :]
-        dst[:, :] = dst[:, :] * mask_ref[:, :]
-        leap(dst, src)
+        sm = src[:, :] * mask_ref[:, :]
+        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
+                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+        src[:, :] = sm
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 
     def image_with(pbuf, rbuf):
@@ -422,7 +438,7 @@ def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=_wav_space(ctx.nt)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[

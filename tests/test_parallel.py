@@ -167,3 +167,22 @@ class TestShotShardedPallas:
                                          int(sxs[i]), sz, gz))
             for i in range(ns)])
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestShardedOtherOrders:
+    @pytest.mark.parametrize("order", [2, 4])
+    def test_sharded_laplacian_order(self, rng, mesh4, order):
+        """Halo width = order/2 varies; sharded must still match."""
+        nxe, nze = 32, 28
+        p = rng.standard_normal((nxe, nze)).astype(np.float32)
+        cx, cz = numerics.scaled_coefficients(order, 10.0, 10.0)
+        expect = np.asarray(stencil.laplacian(jnp.asarray(p), cx, cz, order))
+        n_x = mesh4.shape["x"]
+        f = jax.shard_map(
+            lambda pl_: sharded_laplacian(pl_, jnp.asarray(cx),
+                                          jnp.asarray(cz), order, nxe,
+                                          "x", n_x),
+            mesh=mesh4, in_specs=P("x", None), out_specs=P("x", None),
+            check_vma=False)
+        got = np.asarray(jax.jit(f)(p))
+        np.testing.assert_allclose(got, expect, atol=1e-5)
