@@ -48,8 +48,10 @@ def _lap_tile(a, cz, cx, order):
 def _chunk_kernel(order, nx, tx, tz, col_lo, col_hi, cz, cx,
                   inp_hbm, out_ref, scratch, sems):
     """One z-chunk: 1D grid over x-tiles; ``inp_hbm`` is
-    (n_tx*tx + order, tz + order). ``col_lo``/``col_hi`` are the static
-    local-column bounds of the global z interior within this chunk."""
+    (n_tx*tx + order, chunk_w) with chunk_w a multiple of 128 — DMAs whose
+    lane dimension is not 128-aligned crash this environment's Mosaic
+    compile. ``col_lo``/``col_hi`` are the static local-column bounds of
+    the global z interior within this chunk."""
     h = order // 2
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -63,16 +65,18 @@ def _chunk_kernel(order, nx, tx, tz, col_lo, col_hi, cz, cx,
     def _():
         copy_tile(0, 0).start()
 
-    slot = jax.lax.rem(i, 2)
-    copy_tile(i, slot).wait()
-
-    # prefetch the next tile while this one computes. (Issuing the next
-    # start *before* the wait crashes this environment's Mosaic compile.)
+    # issue the next tile's DMA before blocking on the current one so the
+    # copy engine streams continuously
     @pl.when(i + 1 < n)
     def _():
         copy_tile(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-    interior = _lap_tile(scratch[slot], cz, cx, order)
+    slot = jax.lax.rem(i, 2)
+    copy_tile(i, slot).wait()
+
+    # only the leading tz+order lanes of the (128-aligned) chunk are real
+    a = scratch[slot][:, :tz + order]
+    interior = _lap_tile(a, cz, cx, order)
     # zero rows outside the global x interior [h, nx-h); sublane iota only —
     # lane-axis (dimension=1) iota crashes this environment's Mosaic compile
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, interior.shape, 0)
@@ -109,6 +113,12 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
     cz = [float(v) for v in coefs_z]
     cx = [float(v) for v in coefs_x]
 
+    # chunk lane width must be a multiple of 128 (see _chunk_kernel)
+    chunk_w = -(-(tz + order) // 128) * 128
+    if p_pad.shape[1] < (n_tz - 1) * tz + chunk_w:
+        p_pad = jnp.pad(
+            p_pad, ((0, 0), (0, (n_tz - 1) * tz + chunk_w - p_pad.shape[1])))
+
     def run_chunk(chunk, col_lo, col_hi):
         kern = functools.partial(_chunk_kernel, order, nx, tx, tz,
                                  col_lo, col_hi, cz, cx)
@@ -120,7 +130,7 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_tx * tx, tz), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, tx + order, tz + order), jnp.float32),
+                pltpu.VMEM((2, tx + order, chunk_w), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -129,7 +139,7 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
     outs = []
     for j in range(n_tz):
         chunk = jax.lax.slice(p_pad, (0, j * tz),
-                              (p_pad.shape[0], j * tz + tz + order))
+                              (p_pad.shape[0], j * tz + chunk_w))
         col_lo = max(0, h - j * tz)
         col_hi = min(tz, nz - h - j * tz)
         outs.append(run_chunk(chunk, col_lo, col_hi))
