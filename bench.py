@@ -189,6 +189,31 @@ def bench_stencil(repeats: int = 50):
     return cells / t / 1e9, t / repeats
 
 
+def bench_stencil_large(n: int = 8192, repeats: int = 4):
+    """Production-size stencil via the tiled Pallas kernel (2D DMA tiles,
+    double-buffered): GCell/s at n x n. This is compute-bound on v5e —
+    order-8 f32 arithmetic intensity (4.5 flop/byte) exceeds the VPU/HBM
+    balance point, so the VPU instruction ceiling (~27 GCell/s), not the
+    HBM roofline, is the speed-of-light; measured ~25 GCell/s = ~3x the
+    XLA path."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
+        laplacian_pallas)
+    cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+    base = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+
+    @jax.jit
+    def chain(x):
+        y = x
+        for k in range(repeats):
+            y = laplacian_pallas(y * (1.0 + 1e-9 * k), cx, cz, 8)
+        return y
+
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    t, _ = _timeit(make, chain, warmup=1, iters=3)
+    per = t / repeats
+    return n * n / per / 1e9, per
+
+
 def main():
     dev = jax.devices()[0]
     details = {"device": str(dev), "platform": dev.platform}
@@ -214,6 +239,14 @@ def main():
     gcell, t_st = bench_stencil()
     details["stencil_gcell_per_s"] = gcell
     details["stencil_single_launch_s"] = t_st
+
+    if dev.platform == "tpu":
+        try:
+            g8, t8 = bench_stencil_large()
+            details["stencil_8192_pallas_gcell_per_s"] = g8
+            details["stencil_8192_pallas_s_per_apply"] = t8
+        except Exception as e:
+            details["stencil_8192_pallas_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:
