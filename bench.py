@@ -189,7 +189,7 @@ def bench_stencil(repeats: int = 50):
     return cells / t / 1e9, t / repeats
 
 
-def bench_stencil_large(n: int = 8192, repeats: int = 4):
+def bench_stencil_large(n: int = 8192, repeats: int = 16):
     """Production-size stencil via the tiled Pallas kernel (2D DMA tiles,
     double-buffered): GCell/s at n x n. This is compute-bound on v5e —
     order-8 f32 arithmetic intensity (4.5 flop/byte) exceeds the VPU/HBM
@@ -210,7 +210,7 @@ def bench_stencil_large(n: int = 8192, repeats: int = 4):
 
     make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
     t, _ = _timeit(make, chain, warmup=1, iters=3)
-    per = t / repeats
+    per = t / repeats  # 16 chained applies amortize the per-call overhead
     return n * n / per / 1e9, per
 
 
