@@ -118,15 +118,17 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
 
     def step(src_buf, dst_buf, it):
         """update dst from src; inject; taper both; record row gz of src.
-        The new field's taper is fused with the injection into one
-        read-modify-write: (update + inject) * mask, same value order as
-        the reference's separate passes."""
+        The new field's taper fuses with the update everywhere; the source
+        band rows (static slice) are rewritten with the injection folded in
+        — value-level scatter-add does not lower on TPU."""
         p = src_buf[:, :]
         upd = (2.0 * p - dst_buf[:, :]
                + v2_ref[:, :] * dt2 * laplacian(p, cz, cx, order))
         amp = wav_ref[it, 0]
-        upd = upd.at[sz - r:sz + r + 1, :].add(amp * src_ref[:, :])
         dst_buf[:, :] = upd * mask_ref[:, :]
+        band = slice(sz - r, sz + r + 1)
+        dst_buf[band, :] = ((upd[band, :] + amp * src_ref[:, :])
+                            * mask_ref[band, :])
         tapered_p = p * mask_ref[:, :]
         src_buf[:, :] = tapered_p
         seis_ref[pl.ds(it, 1), :] = tapered_p[gz:gz + 1,
