@@ -12,7 +12,6 @@ BENCH_DETAILS.json.
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -35,7 +34,7 @@ from parallel_finite_difference_computation_tpu.solver import (
     FDContext, forward_modeling, rtm_shot_full)
 from parallel_finite_difference_computation_tpu.ops.stencil import laplacian
 from parallel_finite_difference_computation_tpu.utils.profiling import (
-    sync as _sync, timeit as _prof_timeit)
+    timeit as _prof_timeit)
 
 REFERENCE = os.environ.get("PFDC_REFERENCE_ROOT", "/root/reference")
 GOLDEN = os.path.join(REFERENCE, "dpct_gpu_rtm_domain_division/build/3lay_mod")

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import numerics
-from .config import Params, Geometry
+from .config import Params
 from .ops.stencil import (
     laplacian, leapfrog, inject_point, inject_gaussian,
     inject_receivers, imaging_correlation,
