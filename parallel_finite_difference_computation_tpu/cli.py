@@ -45,7 +45,8 @@ def cmd_stencil(args):
     p = parse_input_dat(_config_arg(args.config))
     out = args.output or "output_tpu.bin"
     t0 = time.time()
-    lap = pipeline.run_stencil(p, output_path=out)
+    lap = pipeline.run_stencil(p, output_path=out,
+                               backend=getattr(args, "backend", "auto"))
     print(f"Laplacian {lap.shape} written to {out} "
           f"({time.time() - t0:.3f}s incl. compile)")
 
@@ -119,7 +120,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     for name, fn, needs_backend in (
-            ("stencil", cmd_stencil, False), ("mod", cmd_mod, True),
+            ("stencil", cmd_stencil, True), ("mod", cmd_mod, True),
             ("rtm", cmd_rtm, False), ("rtm_gpu", cmd_rtm_gpu, True)):
         s = sub.add_parser(name)
         s.add_argument("config", help="input.dat path or par=path")

@@ -107,16 +107,25 @@ def prepare_velocities_gpu(p: Params, vp: np.ndarray,
 # --------------------------------------------------------------------------
 
 def run_stencil(p: Params, input_path: Optional[str] = None,
-                output_path: Optional[str] = None) -> np.ndarray:
+                output_path: Optional[str] = None,
+                backend: str = "auto") -> np.ndarray:
     """Single-launch Laplacian on an (nxe, nze) field read from
     ``input_path`` (the stencil program abuses the ``tmpdir`` key as the data
     path, ``fd-source-code.cu:43-50``). Returns the Laplacian; optionally
-    writes it raw float32 like ``output_cuda.bin``."""
+    writes it raw float32 like ``output_cuda.bin``.
+
+    backend="pallas" uses the tiled streaming kernel (worthwhile for grids
+    beyond VMEM); "auto"/"lax" use the XLA op."""
     path = input_path or p.tmpdir
     field = io.read_velocity(path, p.nxe, p.nze)
     cx, cz = numerics.scaled_coefficients(p.order, p.dx, p.dz)
-    lap = np.asarray(jax.jit(laplacian, static_argnames="order")(
-        jnp.asarray(field), jnp.asarray(cx), jnp.asarray(cz), order=p.order))
+    if backend == "pallas":
+        from .ops.pallas_stencil import laplacian_pallas
+        fn = jax.jit(lambda x: laplacian_pallas(x, cx, cz, p.order))
+    else:
+        fn = jax.jit(lambda x: laplacian(x, jnp.asarray(cx),
+                                         jnp.asarray(cz), p.order))
+    lap = np.asarray(fn(jnp.asarray(field)))
     if output_path:
         io.write_f32(output_path, lap)
     return lap

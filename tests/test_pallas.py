@@ -93,3 +93,23 @@ class TestSplitKernels:
         im1 = fd_back_pallas(ctx, v2, p1, pp1, dobs, gz, interpret=True)
         np.testing.assert_allclose(np.asarray(im1), np.asarray(im0),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestOtherOrders:
+    @pytest.mark.parametrize("order", [2, 4])
+    def test_rtm_kernel_order(self, rng, order):
+        """The whole-shot kernels are order-generic (coefficients are baked
+        as compile-time scalars)."""
+        ctx = FDContext.create(24, 20, 10, dx=10.0, dz=10.0, dt=0.001,
+                               order=order, nxb=8, nzb=8, fac=0.7)
+        v2 = jnp.asarray(
+            (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+             ).astype(np.float32) ** 2)
+        wav = jnp.asarray(numerics.ricker_wavelet(10, 0.001, 25.0))
+        dobs = jnp.asarray(
+            rng.standard_normal((ctx.nx, 10)).astype(np.float32))
+        im0 = rtm_shot_snapshot(ctx, v2, wav, dobs, 18, 10, 9)
+        im1 = rtm_snapshot_pallas(ctx, v2, wav, dobs, 18, 10, 9,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(im1), np.asarray(im0),
+                                   rtol=1e-5, atol=1e-5)
