@@ -1,0 +1,141 @@
+"""Build-and-run helper for the serial C oracle of the reference GPU RTM
+suite (``scripts/gpu_rtm_oracle.c``).
+
+The upstream GPU two-snapshot RTM ships unusable goldens (its ``file-teste``
+is all zeros; ``image.num``/``dir.image`` need the missing ``dobs.6`` blob),
+so full-configuration golden outputs are generated locally by a standalone
+serial C program whose semantics transcribe ``cuda_reference_RTM/src/
+fd-code.cu``. This module compiles it (cached in ``/tmp``, keyed by source
+hash) and materializes per-config golden directories consumed by
+``tests/test_gpu_golden.py`` and ``validate.py``.
+
+Artifacts per config (all float32 raw unless noted):
+  ``input_oracle.dat``  config fed to the oracle (datfile synthesized via
+                        the oracle's ``mod`` mode when the reference ships
+                        none)
+  ``input_parity.dat``  same config with ``vel_ext_file`` pointing at the
+                        boundaries the oracle actually used — the parity
+                        path the reference itself provides (fd-code.cu:483)
+  ``dobs.bin``          observed data, [ns][nx][nt]
+  ``golden/dir.image``  stacked migrated image, [nx][nz]
+  ``golden/imlocs.bin`` per-shot images, [ns][nx][nz]
+  ``golden/image.num``  cumulative text dump (fd-code.cu:522-528)
+  ``golden/vel_ext_used.bin``  extended velocities used, [ns][nxe][nze]
+  ``golden/file-teste`` forward wavefield text probe at it==750
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+import subprocess
+
+__all__ = ["build_oracle", "gpu_goldens", "CONFIGS"]
+
+_REPO = pathlib.Path(__file__).resolve().parents[2]
+ORACLE_SRC = _REPO / "scripts" / "gpu_rtm_oracle.c"
+CACHE = pathlib.Path(os.environ.get("PFDC_ORACLE_CACHE", "/tmp/pfdc_oracle"))
+REFERENCE_ROOT = pathlib.Path(
+    os.environ.get("PFDC_REFERENCE_ROOT", "/root/reference"))
+
+# base input.dat (relative to the reference root) and whether the reference
+# ships a vel_ext parity file / observed data for it
+CONFIGS = {
+    "3lay_gpu": {
+        "input": "cuda_reference_RTM/models/3lay_mod/input.dat",
+        "model_dir": "cuda_reference_RTM/models/3lay_mod",
+    },
+    "new_mod": {
+        "input": "cuda_reference_RTM/models/new_mod/input.dat",
+        "model_dir": "cuda_reference_RTM/models/new_mod",
+    },
+}
+
+
+def build_oracle() -> pathlib.Path:
+    """Compile the oracle (once per source hash) and return the binary."""
+    CACHE.mkdir(parents=True, exist_ok=True)
+    tag = hashlib.sha256(ORACLE_SRC.read_bytes()).hexdigest()[:16]
+    exe = CACHE / f"gpu_rtm_oracle-{tag}"
+    if not exe.exists():
+        tmp = exe.with_suffix(".tmp")
+        # -ffp-contract=off: the reference CUDA build disables FMA
+        # (cuda_reference_RTM/Makefile:4 --fmad=false)
+        subprocess.run(
+            ["gcc", "-O2", "-ffp-contract=off", "-o", str(tmp),
+             str(ORACLE_SRC), "-lm"], check=True)
+        tmp.rename(exe)
+    return exe
+
+
+def _rewrite_input(base: pathlib.Path, out: pathlib.Path, **overrides):
+    """Copy an input.dat, replacing/adding key=value pairs (absolute paths
+    for file keys so the config runs from any cwd)."""
+    lines, seen = [], set()
+    for raw in base.read_text().splitlines():
+        key = raw.split("=", 1)[0].strip() if "=" in raw else None
+        if key in overrides:
+            val = overrides[key]
+            seen.add(key)
+            if val is None:
+                continue
+            lines.append(f"{key}={val}")
+        else:
+            lines.append(raw)
+    for key, val in overrides.items():
+        if key not in seen and val is not None:
+            lines.append(f"{key}={val}")
+    out.write_text("\n".join(lines) + "\n")
+
+
+def gpu_goldens(config: str = "3lay_gpu", force: bool = False) -> dict:
+    """Materialize (cached) oracle goldens for ``config``; return paths."""
+    spec = CONFIGS[config]
+    base = REFERENCE_ROOT / spec["input"]
+    if not base.exists():
+        raise FileNotFoundError(base)
+    exe = build_oracle()
+    root = CACHE / config
+    golden = root / "golden"
+    stamp = root / f".done-{exe.name}"
+    paths = {
+        "input_oracle": root / "input_oracle.dat",
+        "input_parity": root / "input_parity.dat",
+        "dobs": root / "dobs.bin",
+        "dir_image": golden / "dir.image",
+        "imlocs": golden / "imlocs.bin",
+        "image_num": golden / "image.num",
+        "vel_ext_used": golden / "vel_ext_used.bin",
+        "file_teste": golden / "file-teste",
+    }
+    if stamp.exists() and not force:
+        return paths
+    golden.mkdir(parents=True, exist_ok=True)
+
+    model_dir = REFERENCE_ROOT / spec["model_dir"]
+    kv = dict(
+        line.split("=", 1) for line in base.read_text().splitlines()
+        if "=" in line)
+    overrides = {"tmpdir": str(golden)}
+    vp = (model_dir / pathlib.Path(kv["vpfile"].strip()).name)
+    overrides["vpfile"] = str(vp)
+    if "vel_ext_file" in kv:
+        overrides["vel_ext_file"] = str(
+            model_dir / pathlib.Path(kv["vel_ext_file"].strip()).name)
+    # the reference ships no usable observed data for any GPU config
+    # (.MISSING_LARGE_BLOBS) — synthesize it with the oracle's mod mode
+    overrides["datfile"] = str(paths["dobs"])
+    _rewrite_input(base, paths["input_oracle"], **overrides)
+
+    subprocess.run([str(exe), "mod", str(paths["input_oracle"]),
+                    str(paths["dobs"])], check=True,
+                   stderr=subprocess.DEVNULL)
+    subprocess.run([str(exe), "rtm", str(paths["input_oracle"]),
+                    str(golden)], check=True, stderr=subprocess.DEVNULL)
+
+    # parity config: pin the boundary velocities the oracle actually used
+    _rewrite_input(paths["input_oracle"], paths["input_parity"],
+                   vel_ext_file=str(paths["vel_ext_used"]))
+    stamp.touch()
+    return paths

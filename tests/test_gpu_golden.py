@@ -1,0 +1,90 @@
+"""Full-configuration external value gates for the GPU-suite two-snapshot
+RTM (`pipeline.run_rtm_gpu` and the `fd_forward`/`fd_back` drivers).
+
+The upstream goldens for this program are unusable (`cuda_reference_RTM/
+file-teste` is all zeros; `image.num`/`output/dir.image` require the missing
+`dobs.6` blob), so goldens are generated at full 3lay configuration
+(151x151, nt=1001, ns=4, order 8, fac=0.010) by the serial C oracle
+(`scripts/gpu_rtm_oracle.c`, semantics per `cuda_reference_RTM/src/
+fd-code.cu:247-341,380-584`) and the framework is gated against them at
+<=1e-4 rel RMS via the reference's own `vel_ext_file` boundary-parity path
+(fd-code.cu:483-487).
+"""
+
+import numpy as np
+import pytest
+
+import parallel_finite_difference_computation_tpu as pfdc
+from parallel_finite_difference_computation_tpu import io, pipeline
+from parallel_finite_difference_computation_tpu.solver import fd_forward
+from parallel_finite_difference_computation_tpu.config import Geometry
+from parallel_finite_difference_computation_tpu.utils.compare import rel_rms
+from parallel_finite_difference_computation_tpu.utils.oracle import (
+    gpu_goldens)
+
+GATE = 1e-4
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    try:
+        return gpu_goldens("3lay_gpu")
+    except FileNotFoundError as e:  # reference checkout absent
+        pytest.skip(f"reference artifact missing: {e}")
+
+
+@pytest.fixture(scope="module")
+def rtm_run(goldens, tmp_path_factory):
+    """One full-config run_rtm_gpu run (lax backend), shared by the gates."""
+    outdir = tmp_path_factory.mktemp("rtm_gpu_3lay")
+    p = pfdc.parse_input_dat(str(goldens["input_parity"]))
+    img, imlocs = pipeline.run_rtm_gpu(p, backend="lax", outdir=str(outdir),
+                                       write_image_num=True)
+    return p, np.asarray(img), np.asarray(imlocs), outdir
+
+
+def test_dir_image_full_config(goldens, rtm_run):
+    p, img, _, _ = rtm_run
+    golden = np.fromfile(goldens["dir_image"], np.float32).reshape(p.nx, p.nz)
+    assert rel_rms(img, golden) < GATE
+
+
+def test_per_shot_images_full_config(goldens, rtm_run):
+    p, _, imlocs, _ = rtm_run
+    golden = np.fromfile(goldens["imlocs"], np.float32).reshape(
+        p.ns, p.nx, p.nz)
+    for i in range(p.ns):
+        assert rel_rms(imlocs[i], golden[i]) < GATE, f"shot {i}"
+
+
+def test_image_num_full_config(goldens, rtm_run):
+    """Real value comparison of the cumulative image.num text dump."""
+    _, _, _, outdir = rtm_run
+    got = io.read_image_num(str(outdir / "image.num"))
+    want = io.read_image_num(str(goldens["image_num"]))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        # values in the dump are %f-rounded to 6 decimals -> compare with an
+        # absolute floor on top of the rel-RMS gate
+        g, w = np.asarray(g, np.float64), np.asarray(w, np.float64)
+        scale = max(float(np.sqrt(np.mean(w * w))), 1e-3)
+        err = float(np.sqrt(np.mean((g - w) ** 2)))
+        assert err / scale < GATE, f"section {i}: {err / scale:.2e}"
+
+
+def test_forward_probe_full_config(goldens, rtm_run):
+    """file-teste equivalent: tapered p field at it==750 of shot iss=0
+    (fd-code.cu:268-281) vs the oracle's text dump."""
+    p, _, _, _ = rtm_run
+    vel2 = pipeline.prepare_velocities_gpu(
+        p, io.read_velocity(p.vpfile, p.nx, p.nz))
+    g = Geometry.from_params(p)
+    import jax.numpy as jnp
+    wav = jnp.asarray(
+        pfdc.numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+    _, _, cap = fd_forward(pfdc.FDContext.from_params(p, exact_taper=True),
+                           jnp.asarray(vel2[0]), wav, g.sx[0], g.sz,
+                           capture_step=750)
+    golden = np.loadtxt(goldens["file_teste"], dtype=np.float32).reshape(
+        p.nxe, p.nze)
+    assert rel_rms(np.asarray(cap), golden) < GATE
