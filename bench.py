@@ -137,8 +137,9 @@ def bench_marmousi():
     gated against outputs regenerated from the reference's own binaries
     (scripts/make_reference_baselines.sh). Returns (s_per_shot, rel_rms)
     or None when the regenerated artifacts are absent."""
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".baseline_build", "runmarm")
+    d = os.path.join(os.environ.get("PFDC_BASELINE_BUILD",
+                                    "/tmp/pfdc_oracle/baseline_build"),
+                     "runmarm")
     if not os.path.exists(os.path.join(d, "dado_teste.bin")):
         return None
     from parallel_finite_difference_computation_tpu.solver import rtm_shot_full as _rtm

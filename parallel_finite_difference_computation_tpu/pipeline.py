@@ -183,16 +183,23 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
                                               truncated=True))
 
     run = jax.vmap(
-        lambda sx, d: rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz))
-    sx_in, d_in = jnp.asarray(g.sx), jnp.asarray(dobs)
+        lambda sx, d, nx1: rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz,
+                                         next_shot_first=nx1))
+    # the it=0 flat-read of each shot's last trace crosses into the next
+    # shot's first sample in the reference's contiguous dobs block
+    # (rtm_main.cpp:202); 0 for the last shot (see solver._injection_rows)
+    nxt = np.concatenate([np.asarray(dobs, np.float32)[1:, 0, 0],
+                          np.zeros(1, np.float32)])
+    sx_in, d_in, nxt_in = jnp.asarray(g.sx), jnp.asarray(dobs), jnp.asarray(nxt)
     ns = p.ns
     if mesh is not None:
         from .parallel.shots import distribute_shots, pad_shots
         n_dev = mesh.shape.get("shot", 1)
         sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
         d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
-        sx_in, d_in = distribute_shots(mesh, sx_pad, d_pad)
-    imlocs = np.asarray(run(sx_in, d_in))[:ns]
+        nxt_pad, _ = pad_shots(nxt, n_dev)
+        sx_in, d_in, nxt_in = distribute_shots(mesh, sx_pad, d_pad, nxt_pad)
+    imlocs = np.asarray(run(sx_in, d_in, nxt_in))[:ns]
     img = imlocs.sum(axis=0)
     if outdir:
         io.write_image(os.path.join(outdir, "dir.image"), img)

@@ -175,29 +175,43 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
     return p, pp, rec
 
 
+def _injection_rows(ctx, dobs, next_shot_first):
+    """Receiver-injection rows with ``rtm_main``'s flat-read quirk.
+
+    The reference injects ``dobs[is][ix][nt-it]`` (``rtm_main.cpp:202``) — an
+    off-by-one that at it=0 reads one float past each trace. In the
+    contiguous ``alloc3float`` block that is the *next trace's first sample*;
+    for the shot's last trace it crosses into the **next shot's** first
+    sample (``dobs[is+1][0][0]``), passed here as ``next_shot_first`` (0 for
+    the last shot, whose read lands past the whole block — glibc serves the
+    large block from a fresh mmap, so the overrun reads 0 in practice).
+    Returns (nt, nx) rows with ``inj[it] = flat_dobs[ix*nt + nt - it]``.
+    """
+    dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
+                           axis=1)
+    inj = dpad[:, ::-1][:, :ctx.nt].T  # (nt, nx): inj[it] = dpad[:, nt-it]
+    oob_row = jnp.concatenate([
+        dobs[1:, 0], jnp.full((1,), next_shot_first, dobs.dtype)])
+    return inj.at[0].set(oob_row)
+
+
 @partial(jax.jit, static_argnames=("ctx", "x_off_quirk"))
-def backward_recorded(ctx: FDContext, v2, dobs, gz, x_off_quirk: bool = True):
+def backward_recorded(ctx: FDContext, v2, dobs, gz, x_off_quirk: bool = True,
+                      next_shot_first=0.0):
     """``rtm_main``'s backward half (``rtm_main.cpp:196-220``): propagate the
     time-reversed observed data and record the full interior wavefield.
 
-    ``dobs`` is (nx, nt). The reference injects ``dobs[is][ix][nt-it]`` — an
-    off-by-one that at it=0 reads one float past each trace, which in the
-    contiguous ``alloc3float`` block is the *next trace's first sample* (and
-    heap/zero past the last trace); we reproduce that flat-read exactly. It
-    also offsets x by ``nzb`` where ``nxb`` is meant (``rtm_main.cpp:202``)
-    — benign when nxb==nzb; ``x_off_quirk`` keeps the reference behavior.
+    ``dobs`` is (nx, nt); the it=0 injection reproduces the reference's
+    flat-read quirk including the cross-shot sample (see
+    :func:`_injection_rows`). The reference also offsets x by ``nzb`` where
+    ``nxb`` is meant (``rtm_main.cpp:202``) — benign when nxb==nzb;
+    ``x_off_quirk`` keeps the reference behavior.
 
     Returns ``(p, pp, rwf)`` with rwf shaped (nt, nx, nz).
     """
     mask = jnp.asarray(ctx.mask_top)
     x_off = ctx.nzb if x_off_quirk else ctx.nxb
-    # injected[it] = dobs[:, nt-it]: build from the zero-padded reversal,
-    # then fix row it=0 to the flat-read OOB semantics (next trace's [0])
-    dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
-                           axis=1)
-    inj = dpad[:, ::-1][:, :ctx.nt].T  # (nt, nx): inj[it] = dpad[:, nt-it]
-    oob_row = jnp.concatenate([dobs[1:, 0], jnp.zeros((1,), dobs.dtype)])
-    inj = inj.at[0].set(oob_row)
+    inj = _injection_rows(ctx, dobs, next_shot_first)
 
     def step(carry, inj_t):
         p, pp = carry
@@ -216,7 +230,7 @@ def backward_recorded(ctx: FDContext, v2, dobs, gz, x_off_quirk: bool = True):
 
 @partial(jax.jit, static_argnames=("ctx", "x_off_quirk"))
 def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
-                  x_off_quirk: bool = True):
+                  x_off_quirk: bool = True, next_shot_first=0.0):
     """Full-wavefield-storage RTM for one shot — the ``rtm_main`` pipeline
     (``rtm_main.cpp:158-247``): forward with stored source wavefield,
     backward with stored receiver wavefield, then the zero-lag correlation
@@ -229,13 +243,15 @@ def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     _, _, swf = forward_modeling(ctx, v2, wavelet, sx, sz, gz,
                                  source="point", taper="top",
                                  record="wavefield")
-    _, _, rwf = backward_recorded(ctx, v2, dobs, gz, x_off_quirk=x_off_quirk)
+    _, _, rwf = backward_recorded(ctx, v2, dobs, gz, x_off_quirk=x_off_quirk,
+                                  next_shot_first=next_shot_first)
     return jnp.sum(swf[::-1] * rwf, axis=0)
 
 
 @partial(jax.jit, static_argnames=("ctx", "save_every", "x_off_quirk"))
 def rtm_shot_checkpointed(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
-                          save_every: int = 32, x_off_quirk: bool = True):
+                          save_every: int = 32, x_off_quirk: bool = True,
+                          next_shot_first=0.0):
     """Save-every-k checkpointed RTM for one shot — the middle of the
     checkpoint/recompute spectrum whose two ends the reference implements:
     ``rtm_main`` stores all nt wavefields (``rtm_main.cpp:141,177-181``;
@@ -281,13 +297,9 @@ def rtm_shot_checkpointed(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     _, ckpts = jax.lax.scan(fwd_segment, init, wav_seg)  # pytree of (S, ...)
 
     # receiver injection rows, identical to backward_recorded (incl. the
-    # it=0 flat-read OOB quirk)
+    # it=0 flat-read OOB quirk and its cross-shot sample)
     x_off = ctx.nzb if x_off_quirk else ctx.nxb
-    dpad = jnp.concatenate([dobs, jnp.zeros((dobs.shape[0], 1), dobs.dtype)],
-                           axis=1)
-    inj = dpad[:, ::-1][:, :ctx.nt].T
-    oob_row = jnp.concatenate([dobs[1:, 0], jnp.zeros((1,), dobs.dtype)])
-    inj = inj.at[0].set(oob_row).reshape(S, k, -1)
+    inj = _injection_rows(ctx, dobs, next_shot_first).reshape(S, k, -1)
 
     def bwd_step(carry, xs):
         inj_t, swf_frame = xs

@@ -31,7 +31,8 @@ import os
 import pathlib
 import subprocess
 
-__all__ = ["build_oracle", "gpu_goldens", "CONFIGS"]
+__all__ = ["build_oracle", "gpu_goldens", "cpu_reference_build",
+           "rtm_main_goldens", "CONFIGS"]
 
 _REPO = pathlib.Path(__file__).resolve().parents[2]
 ORACLE_SRC = _REPO / "scripts" / "gpu_rtm_oracle.c"
@@ -137,5 +138,73 @@ def gpu_goldens(config: str = "3lay_gpu", force: bool = False) -> dict:
     # parity config: pin the boundary velocities the oracle actually used
     _rewrite_input(paths["input_oracle"], paths["input_parity"],
                    vel_ext_file=str(paths["vel_ext_used"]))
+    stamp.touch()
+    return paths
+
+
+# --------------------------------------------------------------------------
+# CPU-pipeline reference rebuild (mod_main / rtm_main)
+# --------------------------------------------------------------------------
+
+def cpu_reference_build() -> pathlib.Path:
+    """Rebuild the reference's own CPU binaries (``mod_main``/``rtm_main``)
+    against the vendored prebuilt CWP libraries, in ``/tmp`` (keeping the
+    repo tree clean). Returns the build directory. The build is validated
+    elsewhere by reproducing the committed 3lay ``dir.image`` bit-for-bit
+    (scripts/make_reference_baselines.sh did so in round 1)."""
+    ref = REFERENCE_ROOT / "dpct_gpu_rtm_domain_division"
+    bdir = CACHE / "refbuild"
+    done = bdir / ".built"
+    if done.exists():
+        return bdir
+    bdir.mkdir(parents=True, exist_ok=True)
+    import shutil
+    for sub in ("src", "include"):
+        dst = bdir / sub
+        if dst.exists():
+            shutil.rmtree(dst)
+        shutil.copytree(ref / sub, dst)
+    inc = [f"-I{bdir}/include", f"-I{bdir}/include/timestep",
+           f"-I{bdir}/include/source", f"-I{bdir}/include/boundary",
+           f"-I{ref}/lib/cwp/include"]
+    common = [f"{bdir}/src/timestep/fd.c", f"{bdir}/src/source/ptsrc.c",
+              f"{bdir}/src/boundary/taper.c",
+              f"-L{ref}/lib/cwp/lib", "-lsu", "-lpar", "-lcwp", "-lm"]
+    for prog in ("mod_main", "rtm_main"):
+        subprocess.run(
+            ["g++", "-w"] + inc + ["-O3", "-fopenmp", "-o",
+             str(bdir / prog), f"{bdir}/src/{prog}.cpp"] + common,
+            check=True)
+    done.touch()
+    return bdir
+
+
+def rtm_main_goldens(ns: int = 3, force: bool = False) -> dict:
+    """Multi-shot CPU-pipeline goldens from the rebuilt reference binaries:
+    run ``mod_main`` then ``rtm_main`` on the 3lay model with ``ns`` shots
+    (the committed golden covers only ns=1, leaving the cross-shot it=0
+    flat-read of ``rtm_main.cpp:202`` untested). Returns paths to
+    ``input.dat``, ``dobs.bin``, ``dir.image``, ``dir.img``."""
+    bdir = cpu_reference_build()
+    ref3 = REFERENCE_ROOT / "dpct_gpu_rtm_domain_division/build/3lay_mod"
+    rundir = CACHE / f"3lay_ns{ns}"
+    paths = {
+        "input": rundir / "input.dat",
+        "dobs": rundir / "dobs.bin",
+        "dir_image": rundir / "dir.image",
+        "dir_img": rundir / "dir.img",
+    }
+    stamp = rundir / ".done"
+    if stamp.exists() and not force:
+        return paths
+    rundir.mkdir(parents=True, exist_ok=True)
+    _rewrite_input(ref3 / "input.dat", paths["input"],
+                   ns=ns, tmpdir="./",
+                   vpfile=str(ref3 / "3layer_151x151.bin"),
+                   datfile="dobs.bin")
+    for prog in ("mod_main", "rtm_main"):
+        subprocess.run([str(bdir / prog), "par=input.dat"], cwd=rundir,
+                       check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
     stamp.touch()
     return paths

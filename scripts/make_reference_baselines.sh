@@ -11,7 +11,9 @@
 # Timings land in BASELINE_LOCAL.json (updated manually from the output).
 set -e
 R=${PFDC_REFERENCE_ROOT:-/root/reference}/dpct_gpu_rtm_domain_division
-B=$(dirname "$0")/../.baseline_build
+# build outside the repo tree (copies of reference sources must not live in
+# the repo, even gitignored)
+B=${PFDC_BASELINE_BUILD:-/tmp/pfdc_oracle/baseline_build}
 mkdir -p "$B"
 cp -r "$R/src" "$B/src" 2>/dev/null || true
 cp -r "$R/include" "$B/include" 2>/dev/null || true
@@ -22,12 +24,14 @@ echo "built $B/mod_main and $B/rtm_main"
 
 mkdir -p "$B/run3lay" && cd "$B/run3lay"
 cp "$R/build/3lay_mod/input.dat" "$R/build/3lay_mod/3layer_151x151.bin" "$R/build/3lay_mod/dobs.bin" .
-( time ../mod_main par=input.dat > /dev/null ) 2>&1 | grep real
-( time ../rtm_main par=input.dat | tail -1 ) 2>&1
+chmod +w input.dat 3layer_151x151.bin dobs.bin
+../mod_main par=input.dat > /dev/null
+../rtm_main par=input.dat | tail -1
 cmp dir.image "$R/build/3lay_mod/dir.image" && echo "3lay dir.image BIT-IDENTICAL to committed golden"
 
 mkdir -p "$B/runmarm" && cd "$B/runmarm"
 cp "${PFDC_REFERENCE_ROOT:-/root/reference}/cuda_reference_RTM/models/marmousi/model-375.cwp" .
+chmod +w model-375.cwp
 cat > input.dat <<'EOF'
 tmpdir=./
 vpfile=model-375.cwp
@@ -49,6 +53,6 @@ nzb=40
 fac=0.75
 order=8
 EOF
-( time ../mod_main par=input.dat > /dev/null ) 2>&1 | grep real
-( time ../rtm_main par=input.dat | tail -1 ) 2>&1
+../mod_main par=input.dat > /dev/null
+../rtm_main par=input.dat | tail -1
 echo "marmousi baselines regenerated in $B/runmarm"

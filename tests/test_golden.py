@@ -151,9 +151,11 @@ class TestMarmousiRegeneratedBaseline:
         the upstream marmousi data blob is missing, so the oracle is the
         reference implementation itself. Measured on TPU: modeling rel RMS
         5.5e-6, RTM 9.2e-7, RTM 0.11 s/shot vs 153.6 s reference CPU."""
+        import os
         import pathlib
-        d = pathlib.Path(__file__).resolve().parents[1] / \
-            ".baseline_build" / "runmarm"
+        d = pathlib.Path(os.environ.get(
+            "PFDC_BASELINE_BUILD", "/tmp/pfdc_oracle/baseline_build")) / \
+            "runmarm"
         if not (d / "dado_teste.bin").exists() or not (d / "dir.image").exists():
             pytest.skip("regenerated marmousi baselines absent "
                         "(run scripts/make_reference_baselines.sh)")
