@@ -4,3 +4,6 @@ from .domain import (
     halo_exchange, sharded_laplacian, make_sharded_forward_modeling,
     make_sharded_rtm_snapshot, embed_source_fields, embed_dobs,
 )
+from .domain_pallas import (
+    halo_exchange_lanes, make_sharded_rtm_snapshot_pallas,
+)

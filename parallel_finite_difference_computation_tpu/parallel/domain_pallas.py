@@ -1,0 +1,308 @@
+"""x-domain-decomposed RTM with VMEM-resident multi-step Pallas kernels.
+
+This is the fused-kernel production path for the domain division the
+reference only *named* (``dpct_gpu_rtm_domain_division/``, serial code with
+vestigial MPI comments at ``src/rtm_main.cpp:259-267``): the extended grid's
+x axis is sharded over the mesh's ``x`` axis, and propagation runs as a
+**communication-avoiding blocked scheme** — every block, each device
+exchanges ``H = K*h``-wide x-halo slabs of its wavefields with neighbours
+over ICI (``jax.lax.ppermute``), then advances **K time steps entirely in
+VMEM** in a single Pallas kernel on the halo-extended slab. The region of
+exact values shrinks by ``h = order/2`` lanes per step, so after K steps the
+device's own slab is exact; the halo lanes are recomputed redundantly
+instead of communicated per step (trading a little VPU work for K× fewer,
+K× larger ICI messages and K× fewer kernel launches — the standard
+communication-avoiding stencil trade).
+
+Correctness relies on every *local* per-lane operation seeing the values the
+owning neighbour would use, so the static operands are all halo-extended
+too: the taper mask, the (lane-masked) squared velocity, the source one-hot
+row, and the embedded observed-data rows. Halo lanes beyond the global grid
+stay exactly zero (ppermute leaves non-targets zero; their v2 is zero), so
+edge shards reproduce the unsharded kernel's zero-border Laplacian.
+
+Per-step semantics are identical to :mod:`..ops.pallas_fd` (GPU-suite
+``fd_forward``/``fd_back``, ``cuda_reference_RTM/src/fd-code.cu:247-341``),
+kernels z-major ((nze, lanes), x on lanes), with the same buffer-role
+alternation; K is python-unrolled with parity-aware output mapping so any
+block length works (the tail block runs ``nt mod K`` steps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.stencil import laplacian
+from ..ops.pallas_fd import _compiler_params
+from ..solver import FDContext
+
+__all__ = ["make_sharded_rtm_snapshot_pallas", "halo_exchange_lanes"]
+
+
+def halo_exchange_lanes(field, H: int, axis_name: str, n_shards: int):
+    """(nze, nxl) z-major local slab -> (nze, nxl + 2H) with H lanes of halo
+    from each x-neighbour; global-edge shards get zero halos (ppermute
+    leaves devices that are not a target of any (src, dst) pair zeroed)."""
+    if n_shards == 1:
+        z = jnp.zeros(field.shape[:-1] + (H,), field.dtype)
+        return jnp.concatenate([z, field, z], axis=-1)
+    from_left = jax.lax.ppermute(
+        field[..., -H:], axis_name, [(i, i + 1) for i in range(n_shards - 1)])
+    from_right = jax.lax.ppermute(
+        field[..., :H], axis_name, [(i + 1, i) for i in range(n_shards - 1)])
+    return jnp.concatenate([from_left, field, from_right], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Block kernels (z-major; lanes = nxw = nxl + 2H)
+# --------------------------------------------------------------------------
+
+def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
+                      v2m_ref, mask_ref, src_ref, wav_ref,
+                      p_in, pp_in, p_out, pp_out, X, Y):
+    """K forward steps (fd-code.cu:259-267 semantics) on the halo-extended
+    slab. Carry contract matches the sharded-lax fstep: in/out are the
+    (tapered p, freshly updated pp) pair on the device's own nxl lanes."""
+    dt2 = jnp.float32(ctx.dt2)
+    cz = [float(v) for v in ctx.coefs_z]
+    cx = [float(v) for v in ctx.coefs_x]
+    X[:, :] = p_in[:, :]
+    Y[:, :] = pp_in[:, :]
+    for k in range(K):
+        dst, src = (X, Y) if k % 2 == 0 else (Y, X)
+        sm = src[:, :] * mask_ref[:, :]
+        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
+                     + v2m_ref[:, :] * dt2 * laplacian(sm, cz, cx, ctx.order))
+        src[:, :] = sm
+        dst[sz:sz + 1, :] += wav_ref[k, 0] * src_ref[:, :]
+    pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
+    p_out[:, :] = pX[:, H:H + nxl]
+    pp_out[:, :] = pY[:, H:H + nxl]
+
+
+def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
+                      v2m_ref, mask_ref, dobs_ref, *refs):
+    """K backward steps (fd-code.cu:302-333 semantics): source pair
+    re-propagated in reverse without taper, receiver pair tapered + data
+    injected, imaging delta on the device's own lanes. ``seed=True`` is the
+    first block: steps 0 and 1 load the forward snapshots (passed extended)
+    instead of leapfrogging."""
+    if seed:
+        (snap0_ref, snap1_ref, p_in, pp_in, pr_in, ppr_in,
+         p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V) = refs
+    else:
+        (p_in, pp_in, pr_in, ppr_in,
+         p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V) = refs
+    dt2 = jnp.float32(ctx.dt2)
+    cz = [float(v) for v in ctx.coefs_z]
+    cx = [float(v) for v in ctx.coefs_x]
+    ctr = slice(H, H + nxl)
+
+    X[:, :] = p_in[:, :]
+    Y[:, :] = pp_in[:, :]
+    U[:, :] = pr_in[:, :]
+    V[:, :] = ppr_in[:, :]
+    im_ref[:, :] = jnp.zeros_like(im_ref)
+
+    for k in range(K):
+        dst_s, src_s = (Y, X) if k % 2 == 0 else (X, Y)
+        dst_r, src_r = (V, U) if k % 2 == 0 else (U, V)
+        if seed and k == 0:
+            dst_s[:, :] = snap1_ref[:, :]
+        elif seed and k == 1:
+            dst_s[:, :] = snap0_ref[:, :]
+        else:
+            s = src_s[:, :]
+            dst_s[:, :] = (2.0 * s - dst_s[:, :]
+                           + v2m_ref[:, :] * dt2
+                           * laplacian(s, cz, cx, ctx.order))
+        sm = src_r[:, :] * mask_ref[:, :]
+        dst_r[:, :] = (2.0 * sm - dst_r[:, :] * mask_ref[:, :]
+                       + v2m_ref[:, :] * dt2
+                       * laplacian(sm, cz, cx, ctx.order))
+        src_r[:, :] = sm
+        dst_r[gz:gz + 1, :] += dobs_ref[k:k + 1, :]
+        im_ref[:, :] += dst_s[:, ctr] * dst_r[:, ctr]
+
+    pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
+    rU, rV = (U, V) if K % 2 == 0 else (V, U)
+    p_out[:, :] = pX[:, ctr]
+    pp_out[:, :] = pY[:, ctr]
+    pr_out[:, :] = rU[:, ctr]
+    ppr_out[:, :] = rV[:, ctr]
+
+
+# --------------------------------------------------------------------------
+# Wrapper
+# --------------------------------------------------------------------------
+
+def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
+                                     gz: int, block_k: int = 8,
+                                     interpret: bool = False):
+    """Build a jitted shot+x-domain-parallel two-snapshot RTM whose per-
+    device compute runs in VMEM-resident blocked Pallas kernels with
+    ``ppermute`` halo exchange every ``block_k`` steps.
+
+    Returns ``fn(v2, sxs, wavelet, dobs_ext) -> imloc_ext`` with ``v2``
+    (ns, nxe, nze), ``sxs`` (ns,) int32 absolute source lanes, ``dobs_ext``
+    (ns, nxe, nt) (from :func:`.domain.embed_dobs`), and ``imloc_ext``
+    (ns, nxe, nze) extended per-shot images — the same contract as
+    :func:`.domain.make_sharded_rtm_snapshot` except sources are given by
+    position (``sz`` static) rather than embedded fields.
+
+    ``nt`` must be >= 2*block_k (the first backward block seeds the two
+    snapshots). Matches the per-step kernel sequence of
+    ``cuda_reference_RTM/src/fd-code.cu:259-267,302-333`` decomposed over x.
+    """
+    n_x = mesh.shape["x"]
+    if ctx.nxe % n_x:
+        raise ValueError(f"nxe={ctx.nxe} not divisible by x={n_x} shards")
+    nxl = ctx.nxe // n_x
+    h = ctx.order // 2
+    K = int(block_k)
+    H = K * h
+    if H > nxl:
+        raise ValueError(
+            f"halo width K*h={H} exceeds the local slab width nxl={nxl}; "
+            f"a single ppermute only reaches the adjacent neighbour — "
+            f"lower block_k to <= {nxl // h} or use fewer x shards")
+    if ctx.nt < 2 * K:
+        raise ValueError(f"nt={ctx.nt} < 2*block_k={2 * K}; use the lax "
+                         f"path (make_sharded_rtm_snapshot) for tiny runs")
+    nxw = nxl + 2 * H
+    nb, tail = divmod(ctx.nt, K)
+    mask_glob = jnp.asarray(ctx.mask_top)  # (nxe, nze) x-major
+    cp = _compiler_params()
+
+    slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
+    scratch4 = [pltpu.VMEM((ctx.nze, nxw), jnp.float32)] * 4
+
+    def _fwd_call(k_steps):
+        kern = functools.partial(_fwd_block_kernel, ctx, sz, k_steps, nxl, H)
+        return pl.pallas_call(
+            kern,
+            out_shape=(slab, slab),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            scratch_shapes=scratch4[:2],
+            compiler_params=cp,
+            interpret=interpret,
+        )
+
+    def _bwd_call(k_steps, seed):
+        kern = functools.partial(_bwd_block_kernel, ctx, gz, k_steps, nxl, H,
+                                 seed)
+        n_in = 3 + (2 if seed else 0) + 4
+        return pl.pallas_call(
+            kern,
+            out_shape=(slab,) * 5,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+            scratch_shapes=scratch4,
+            compiler_params=cp,
+            interpret=interpret,
+        )
+
+    def body(v2, sx, dobs_ext, wavelet):
+        # ---- per-shot halo-extended static operands (z-major) ----
+        row0 = jax.lax.axis_index("x") * nxl
+        glob = row0 - H + jnp.arange(nxw)
+        lane = ((glob >= h) & (glob < ctx.nxe - h)).astype(jnp.float32)
+        mask_l = jax.lax.dynamic_slice(mask_glob, (row0, 0),
+                                       (nxl, ctx.nze))
+        mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x)
+        v2_e = halo_exchange_lanes(v2.T, H, "x", n_x)
+        # lane interior mask folded into v2: v2m*lap == v2*(lap*lane) exactly
+        v2m_e = v2_e * lane[None, :]
+        src_row = (glob == sx).astype(jnp.float32)[None, :]
+        dobs_e = halo_exchange_lanes(dobs_ext.T, H, "x", n_x)  # (nt, nxw)
+        wav2 = wavelet.reshape(ctx.nt, 1)
+
+        zc = jnp.zeros((ctx.nze, nxl), jnp.float32)
+
+        # ---- forward: nb blocks of K + tail ----
+        fwd_k = _fwd_call(K)
+
+        def fwd_block(carry, xs):
+            p, pp = carry
+            pe = halo_exchange_lanes(p, H, "x", n_x)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x)
+            p2, pp2 = fwd_k(v2m_e, mask_e, src_row, xs, pe, ppe)
+            return (p2, pp2), None
+
+        wav_blocks = wav2[:nb * K].reshape(nb, K, 1)
+        (p, pp), _ = jax.lax.scan(fwd_block, (zc, zc), wav_blocks)
+        if tail:
+            fwd_t = _fwd_call(tail)
+            pe = halo_exchange_lanes(p, H, "x", n_x)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x)
+            p, pp = fwd_t(v2m_e, mask_e, src_row, wav2[nb * K:], pe, ppe)
+        # carry contract == lax fstep: (snap0, snap1) = final (p, pp)
+        snap0, snap1 = p, pp
+
+        # ---- backward: seeded first block, then generic blocks + tail ----
+        # receiver rows, pre-reversed: row it = dobs[:, nt-1-it]
+        inj = dobs_e[::-1]  # (nt, nxw)
+        bwd0 = _bwd_call(K, seed=True)
+        bwd_k = _bwd_call(K, seed=False)
+
+        snap0_e = halo_exchange_lanes(snap0, H, "x", n_x)
+        snap1_e = halo_exchange_lanes(snap1, H, "x", n_x)
+
+        def exchange4(p, pp, pr, ppr):
+            return (halo_exchange_lanes(p, H, "x", n_x),
+                    halo_exchange_lanes(pp, H, "x", n_x),
+                    halo_exchange_lanes(pr, H, "x", n_x),
+                    halo_exchange_lanes(ppr, H, "x", n_x))
+
+        p, pp, pr, ppr, im = bwd0(v2m_e, mask_e, inj[:K],
+                                  snap0_e, snap1_e,
+                                  *exchange4(zc, zc, zc, zc))
+
+        def bwd_block(carry, xs):
+            p, pp, pr, ppr, im = carry
+            p2, pp2, pr2, ppr2, d = bwd_k(v2m_e, mask_e, xs,
+                                          *exchange4(p, pp, pr, ppr))
+            return (p2, pp2, pr2, ppr2, im + d), None
+
+        nb_b, tail_b = divmod(ctx.nt - K, K)
+        if nb_b:
+            blocks = inj[K:K + nb_b * K].reshape(nb_b, K, nxw)
+            (p, pp, pr, ppr, im), _ = jax.lax.scan(
+                bwd_block, (p, pp, pr, ppr, im), blocks)
+        if tail_b:
+            bwd_t = _bwd_call(tail_b, seed=False)
+            _, _, _, _, d = bwd_t(v2m_e, mask_e, inj[ctx.nt - tail_b:],
+                                  *exchange4(p, pp, pr, ppr))
+            im = im + d
+
+        # K6 interior restriction distributes over the step sum exactly
+        im_mask = ((glob[H:H + nxl] >= ctx.nxb)
+                   & (glob[H:H + nxl] < ctx.nxe - ctx.nxb))
+        zin = (jnp.arange(ctx.nze) >= ctx.nzb) & (jnp.arange(ctx.nze)
+                                                  < ctx.nze - ctx.nzb)
+        im = im * (zin[:, None] & im_mask[None, :]).astype(jnp.float32)
+        return im.T  # back to x-major (nxl, nze)
+
+    sharded = shard_map(
+        jax.vmap(body, in_axes=(0, 0, 0, None)),
+        mesh=mesh,
+        in_specs=(P("shot", "x", None), P("shot"), P("shot", "x", None),
+                  P()),
+        out_specs=P("shot", "x", None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(v2, sxs, wavelet, dobs_ext):
+        return sharded(v2, jnp.asarray(sxs, jnp.int32), dobs_ext, wavelet)
+
+    return fn

@@ -228,6 +228,14 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
 
+    if mesh is not None and mesh.shape.get("x", 1) > 1:
+        # grid decomposed over the mesh's x axis (plus shot sharding):
+        # the domain division the reference only named
+        img, imlocs = _run_rtm_gpu_domain(p, ctx, g, wav, vel2, dobs, mesh,
+                                          backend)
+        _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num)
+        return img, imlocs
+
     run_pallas = None
     run_split = None
     if _use_pallas(backend) and mesh is not None:
@@ -268,15 +276,60 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                                 (v_in, sx_in, d_in), backend,
                                 run_pallas_split=run_split)[:ns]
     img = imlocs.sum(axis=0)
-    if outdir:
-        io.write_image(os.path.join(outdir, "dir.image"), img)
-        io.write_image(os.path.join(outdir, "dir.image_lap"),
-                       np.zeros_like(img))
-        # the reference opens these snapshot files but never writes them
-        # (fd-code.cu:466-470; committed output/ has them empty)
-        for fname in ("dir.snaps", "dir.snaps_rec", "dir.snapr"):
-            open(os.path.join(outdir, fname), "w").close()
-        if write_image_num:
-            io.write_image_num(os.path.join(outdir, "image.num"),
-                               list(np.cumsum(imlocs, axis=0)))
+    _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num)
     return img, imlocs
+
+
+def _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num):
+    if not outdir:
+        return
+    io.write_image(os.path.join(outdir, "dir.image"), img)
+    io.write_image(os.path.join(outdir, "dir.image_lap"),
+                   np.zeros_like(img))
+    # the reference opens these snapshot files but never writes them
+    # (fd-code.cu:466-470; committed output/ has them empty)
+    for fname in ("dir.snaps", "dir.snaps_rec", "dir.snapr"):
+        open(os.path.join(outdir, fname), "w").close()
+    if write_image_num:
+        io.write_image_num(os.path.join(outdir, "image.num"),
+                           list(np.cumsum(imlocs, axis=0)))
+
+
+def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend):
+    """x-domain-decomposed two-snapshot RTM over a (shot, x) mesh: every
+    device computes an x-slab of the grid, exchanging order/2-wide halos
+    over ICI — blocked VMEM-resident Pallas kernels
+    (:func:`..parallel.domain_pallas.make_sharded_rtm_snapshot_pallas`)
+    with the per-step lax formulation as fallback."""
+    from .parallel.domain import (make_sharded_rtm_snapshot,
+                                  embed_source_fields, embed_dobs)
+    from .parallel.domain_pallas import make_sharded_rtm_snapshot_pallas
+    from .parallel.shots import pad_shots
+    n_shot = mesh.shape.get("shot", 1)
+    n_x = mesh.shape["x"]
+    if ctx.nxe % n_x:
+        raise ValueError(f"extended grid nxe={ctx.nxe} must divide by the "
+                         f"mesh x size {n_x}")
+    v_pad, ns = pad_shots(np.asarray(vel2), n_shot)
+    d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_shot)
+    sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_shot)
+    d_ext = embed_dobs(ctx, d_pad)
+
+    run_pallas = None
+    if _use_pallas(backend):
+        h = ctx.order // 2
+        block_k = max(1, min(8, (ctx.nxe // n_x) // h, ctx.nt // 2))
+        fn_pl = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
+                                                 block_k=block_k)
+        run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
+    fn_lax = make_sharded_rtm_snapshot(ctx, mesh, g.gz)
+    srcf = embed_source_fields(ctx, [int(s) for s in sx_pad], g.sz,
+                               gaussian=False)
+    run_lax = lambda: fn_lax(v_pad, srcf, wav, d_ext)
+
+    im_ext = _run_with_fallback(
+        run_pallas and (lambda *a: run_pallas()),
+        lambda *a: run_lax(), (), backend)
+    imlocs = np.asarray(im_ext)[:ns, ctx.nxb:ctx.nxe - ctx.nxb,
+                                ctx.nzb:ctx.nze - ctx.nzb]
+    return imlocs.sum(axis=0), imlocs
