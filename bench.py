@@ -117,6 +117,87 @@ def bench_rtm_pallas_batched(n_shots: int = 8):
     return t / n_shots
 
 
+def bench_rtm_pallas_single():
+    """Unbatched single-shot whole-shot-kernel latency (one pallas call).
+    On this tunneled setup each synced call carries a fixed ~26 ms
+    round-trip, so this bounds *latency*; the batched number is the
+    *throughput* figure a survey sees."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+        rtm_snapshot_pallas)
+    p, vp, dobs = _load_3lay()
+    g = p.geometry()
+    base = pipeline.prepare_velocity_cpu(p, vp)
+    ctx = FDContext.from_params(p, exact_taper=False)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    if dobs is None:
+        dobs = pipeline.run_modeling(p, vp=vp, backend="lax")
+    d0 = jnp.asarray(dobs[0])
+    fn = jax.jit(lambda v2: rtm_snapshot_pallas(ctx, v2, wav, d0,
+                                                g.sx[0], g.sz, g.gz))
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    return _prof_timeit(make, fn, warmup=2, iters=5)
+
+
+def bench_rtm_domain_pallas(n_x: int = 1, block_k: int = 8):
+    """The multi-chip production path compiled and run on the real chip:
+    x-domain-decomposed blocked Pallas RTM (halo exchange every block_k
+    steps) over an (1, n_x) mesh — n_x=1 on the single available chip, same
+    kernel/collective program as a pod slice."""
+    from parallel_finite_difference_computation_tpu.parallel import (
+        make_mesh, embed_dobs)
+    from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
+        import make_sharded_rtm_snapshot_pallas
+    p, vp, dobs = _load_3lay()
+    g = p.geometry()
+    base = pipeline.prepare_velocity_cpu(p, vp)
+    ctx = FDContext.from_params(p, exact_taper=False)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                              truncated=True))
+    if dobs is None:
+        dobs = pipeline.run_modeling(p, vp=vp, backend="lax")
+    mesh = make_mesh(n_shot=1, n_x=n_x)
+    fn = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
+                                          block_k=block_k)
+    d_ext = embed_dobs(ctx, np.asarray(dobs[:1], np.float32))
+    sxs = np.asarray([g.sx[0]], np.int32)
+    make = lambda i: (np.stack([base * (1 + 1e-7 * i)]), sxs, wav, d_ext)
+    return _prof_timeit(make, fn, warmup=2, iters=3)
+
+
+def bench_marmousi_pallas():
+    """Flagship-scale whole-shot Pallas RTM (marmousi GPU-suite config,
+    409x455 extended, nt=3004). Compile takes many minutes through the
+    remote Mosaic helper, so this runs only with PFDC_BENCH_FULL=1; the
+    recorded number lives in BENCH_DETAILS.json/docs."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+        rtm_snapshot_pallas)
+    from parallel_finite_difference_computation_tpu.solver import (
+        rtm_shot_snapshot)
+    cfg = os.path.join(REFERENCE, "cuda_reference_RTM/models/marmousi/input.dat")
+    if not os.path.exists(cfg):
+        return None
+    p = pfdc.parse_input_dat(cfg)
+    vp = io.read_velocity(
+        os.path.join(REFERENCE, "cuda_reference_RTM/models/marmousi/model-375.cwp"),
+        p.nx, p.nz)
+    base = pipeline.prepare_velocity_cpu(p, vp)  # perf-representative v2
+    ctx = FDContext.from_params(p, exact_taper=True)
+    g = p.geometry()
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+    dobs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (p.nx, p.nt)).astype(np.float32))
+    fn = jax.jit(lambda v2: rtm_snapshot_pallas(ctx, v2, wav, dobs,
+                                                g.sx[0], g.sz, g.gz))
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    t = _prof_timeit(make, fn, warmup=2, iters=3)
+    ref = np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(base), wav, dobs,
+                                       g.sx[0], g.sz, g.gz))
+    got = np.asarray(fn(jnp.asarray(base)))
+    rel = float(np.abs(got - ref).max() / (np.abs(ref).max() or 1.0))
+    return t, rel
+
+
 def bench_modeling():
     p, vp, _ = _load_3lay()
     g = p.geometry()
@@ -189,46 +270,91 @@ def bench_stencil(repeats: int = 50):
     return cells / t / 1e9, t / repeats
 
 
-def bench_stencil_large(n: int = 8192, repeats: int = 16):
+def bench_stencil_large(n: int = 8192, repeats: int = 16,
+                        tiles=((256, 512), (512, 512), (256, 1024))):
     """Production-size stencil via the tiled Pallas kernel (2D DMA tiles,
-    double-buffered): GCell/s at n x n. This is compute-bound on v5e —
-    order-8 f32 arithmetic intensity (4.5 flop/byte) exceeds the VPU/HBM
-    balance point, so the VPU instruction ceiling (~27 GCell/s), not the
-    HBM roofline, is the speed-of-light; measured ~25 GCell/s = ~3x the
-    XLA path."""
+    double-buffered): GCell/s at n x n, autotuned over tile shapes and taken
+    as best-of-5 per tile (pins the session-to-session variance round 1
+    observed). This is compute-bound on v5e — order-8 f32 arithmetic
+    intensity (~4.4 flop/byte at the 2-pass traffic floor) exceeds the
+    VPU/HBM balance point, so the VPU issue-rate ceiling
+    (:func:`profiling.vpu_ceiling_cell_rate`, ~27.5 GCell/s), not the HBM
+    roofline, is the speed-of-light. Returns (gcell, s_per_apply, tile)."""
     from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
         laplacian_pallas)
     cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
     base = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
 
-    @jax.jit
-    def chain(x):
-        y = x
-        for k in range(repeats):
-            y = laplacian_pallas(y * (1.0 + 1e-9 * k), cx, cz, 8)
-        return y
+    best = (0.0, float("inf"), None)
+    for tile in tiles:
+        @jax.jit
+        def chain(x, _tile=tile):
+            y = x
+            for k in range(repeats):
+                y = laplacian_pallas(y * (1.0 + 1e-9 * k), cx, cz, 8,
+                                     tile=_tile)
+            return y
 
-    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
-    t, _ = _timeit(make, chain, warmup=1, iters=3)
-    per = t / repeats  # 16 chained applies amortize the per-call overhead
-    return n * n / per / 1e9, per
+        make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+        try:
+            t = _prof_timeit(make, chain, warmup=2, iters=5)
+        except Exception:
+            continue
+        per = t / repeats
+        g = n * n / per / 1e9
+        if g > best[0]:
+            best = (g, per, tile)
+    if best[2] is None:
+        raise RuntimeError("no stencil tile compiled")
+    return best
+
+
+# Perf floors: regression gates over the round-1/round-2 measured numbers
+# (batched pallas 3lay measured ~6.8 ms; tiled stencil measured 15.9-24.8
+# GCell/s across sessions — the floor catches real regressions, not
+# session variance). A violation still prints the JSON line, then exits 1.
+FLOOR_RTM_PALLAS_S = 0.012
+FLOOR_STENCIL_GCELL = 12.0
+GATE_REL_RMS = 1e-4
 
 
 def main():
+    from parallel_finite_difference_computation_tpu.utils.profiling import (
+        vpu_ceiling_cell_rate, stencil_ops_per_cell, device_hbm_gbps)
     dev = jax.devices()[0]
     details = {"device": str(dev), "platform": dev.platform}
+    floors = []
 
     t_rtm, rel = bench_rtm()
     details["rtm_3lay_lax_s_per_shot"] = t_rtm
     details["rtm_3lay_rel_rms_vs_golden"] = rel
     details["rtm_lax_speedup_vs_cpu_reference"] = BASELINE_RTM_S_PER_SHOT / t_rtm
+    if rel is not None and rel > GATE_REL_RMS:
+        floors.append(f"rtm rel_rms {rel:.2e} > {GATE_REL_RMS}")
 
     if dev.platform == "tpu":
         t_pallas = bench_rtm_pallas_batched()
         details["rtm_3lay_pallas_s_per_shot_batched8"] = t_pallas
         details["rtm_pallas_speedup_vs_cpu_reference"] = (
             BASELINE_RTM_S_PER_SHOT / t_pallas)
+        # effective field-update rate: 3 grid updates per step (1 fwd,
+        # 2 bwd), ~41 vector ops per cell-update (stencil 35 + leapfrog,
+        # taper, imaging amortized)
+        p3, _, _ = _load_3lay()
+        cells = p3.nxe * p3.nze * p3.nt * 3
+        details["rtm_pallas_gcell_updates_per_s"] = cells / t_pallas / 1e9
+        details["rtm_pallas_vpu_ceiling_fraction"] = (
+            cells / t_pallas) / vpu_ceiling_cell_rate(41)
+        t_single = bench_rtm_pallas_single()
+        details["rtm_3lay_pallas_s_per_shot_unbatched"] = t_single
+        try:
+            t_dom = bench_rtm_domain_pallas()
+            details["rtm_3lay_domain_pallas_nx1_s_per_shot"] = t_dom
+        except Exception as e:
+            details["rtm_3lay_domain_pallas_error"] = str(e)[:200]
         t_headline = t_pallas
+        if t_pallas > FLOOR_RTM_PALLAS_S:
+            floors.append(f"rtm pallas {t_pallas:.4f}s > {FLOOR_RTM_PALLAS_S}")
     else:
         t_headline = t_rtm
 
@@ -242,9 +368,19 @@ def main():
 
     if dev.platform == "tpu":
         try:
-            g8, t8 = bench_stencil_large()
+            g8, t8, tile8 = bench_stencil_large()
             details["stencil_8192_pallas_gcell_per_s"] = g8
             details["stencil_8192_pallas_s_per_apply"] = t8
+            details["stencil_8192_pallas_best_tile"] = list(tile8)
+            ceil = vpu_ceiling_cell_rate(stencil_ops_per_cell(8))
+            details["stencil_vpu_ceiling_gcell_per_s"] = ceil / 1e9
+            details["stencil_8192_vpu_ceiling_fraction"] = g8 * 1e9 / ceil
+            # HBM roofline at the in+out traffic floor (8 B/cell)
+            details["stencil_8192_hbm_roofline_fraction"] = (
+                g8 * 1e9 * 8) / (device_hbm_gbps(dev) * 1e9)
+            if g8 < FLOOR_STENCIL_GCELL:
+                floors.append(f"stencil {g8:.1f} GCell/s < "
+                              f"{FLOOR_STENCIL_GCELL}")
         except Exception as e:
             details["stencil_8192_pallas_error"] = str(e)[:200]
 
@@ -254,6 +390,13 @@ def main():
         details["rtm_marmousi_rel_rms_vs_reference_run"] = marm[1]
         details["rtm_marmousi_speedup_vs_cpu_reference"] = 153.6 / marm[0]
 
+    if dev.platform == "tpu" and os.environ.get("PFDC_BENCH_FULL"):
+        mp = bench_marmousi_pallas()
+        if mp:
+            details["rtm_marmousi_pallas_s_per_shot"] = mp[0]
+            details["rtm_marmousi_pallas_max_rel_vs_lax"] = mp[1]
+
+    details["floor_violations"] = floors
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 
@@ -263,6 +406,9 @@ def main():
         "unit": "s/shot",
         "vs_baseline": round(BASELINE_RTM_S_PER_SHOT / t_headline, 2),
     }))
+    if floors:
+        print("PERF FLOOR VIOLATIONS: " + "; ".join(floors), file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -273,6 +273,76 @@ def extendvel_random(vel_ext: np.ndarray, nx: int, nz: int,
     return v
 
 
+def extendvel_random_jax(vel_ext, nx: int, nz: int, nxb: int, nzb: int,
+                         key, l_lim: float = 300.0, delta: float = 200.0):
+    """On-device random linear-ramp boundary extension — the jittable,
+    vmappable counterpart of :func:`extendvel_random` (``functions.c:
+    301-359`` semantics, ``jax.random`` bits). Per-shot boundary generation
+    under ``vmap``/shot-sharding runs entirely on device, with no per-shot
+    host step — the scaling the reference addresses with its precomputed
+    ``vel_ext_file`` (``fd-code.cu:412-418``).
+
+    ``vel_ext`` is the (nxe, nze) extended grid with the interior filled;
+    ``nx``..``nzb`` must be static under jit. Returns the extended grid.
+
+    The bottom-corner triangular double-loop (``functions.c:340-358``) is
+    vectorized: cell (a, d) of the corner block takes its ramp value from
+    ``min(a, d)`` (the second write of the pair overwrites the diagonal),
+    which reproduces the loop's final state with one masked fill.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    v = jnp.asarray(vel_ext, jnp.float32)
+    nxe, nze = nx + 2 * nxb, nz + 2 * nzb
+    keys = jax.random.split(key, 5)
+
+    def runi(k, lo, hi, shape):
+        # rand() % (int)(hi - lo + 1) + lo -> uniform integers in [lo, hi]
+        span = jnp.maximum(hi - lo + 1.0, 1.0)
+        r = jax.random.uniform(k, shape, jnp.float32)
+        return jnp.floor(r * span) + lo
+
+    # top border: clamp to the first interior row
+    v = v.at[nxb:nxb + nx, :nzb].set(v[nxb:nxb + nx, nzb:nzb + 1])
+
+    # bottom border: ramp from the bottom-edge velocity toward l_lim
+    iz = jnp.arange(nzb, dtype=jnp.float32)
+    vbot = v[nxb:nxb + nx, nzb + nz - 1][:, None]
+    v_ave = vbot - (vbot - l_lim) * iz[None, :] / (nzb - 1)
+    v = v.at[nxb:nxb + nx, nzb + nz:].set(
+        runi(keys[0], v_ave - delta, vbot + delta, (nx, nzb)))
+
+    # left/right borders: ramp outward from the edge interior columns
+    ix = jnp.arange(nxb, dtype=jnp.float32)
+    vl = v[nxb, nzb:nzb + nz][None, :]
+    v_ave = vl - (vl - l_lim) * ix[:, None] / (nxb - 1)
+    left = runi(keys[1], v_ave - delta, vl + delta, (nxb, nz))
+    v = v.at[:nxb, nzb:nzb + nz].set(left[::-1, :])
+    vr = v[nxb + nx - 1, nzb:nzb + nz][None, :]
+    v_ave = vr - (vr - l_lim) * ix[:, None] / (nxb - 1)
+    v = v.at[nxb + nx:, nzb:nzb + nz].set(
+        runi(keys[2], v_ave - delta, vr + delta, (nxb, nz)))
+
+    # top corners: clamp horizontally
+    v = v.at[:nxb, :nzb].set(v[nxb:nxb + 1, :nzb])
+    v = v.at[nxb + nx:, :nzb].set(v[nxb + nx - 1:nxb + nx, :nzb])
+
+    # bottom corners: min(a, d)-ramped randomized triangular fill
+    a = jnp.arange(nzb)[:, None]            # corner-block x offset
+    d = jnp.arange(nzb)[None, :]            # offset from the bottom edge
+    m = jnp.minimum(a, d).astype(jnp.float32)
+    vbl = v[nxb, nzb + nz - 1]
+    va = vbl - (vbl - l_lim) * (nxb - 1 - m) / (nzb - 1)
+    blk = runi(keys[3], va - delta, vbl + delta, (nzb, nzb))
+    v = v.at[:nzb, nze - nzb:].set(blk[:, ::-1])
+    vbr = v[nxb + nx - 1, nzb + nz - 1]
+    va = vbr - (vbr - l_lim) * (nxb - 1 - m) / (nzb - 1)
+    blk = runi(keys[4], va - delta, vbr + delta, (nzb, nzb))
+    v = v.at[nxe - nzb:, nze - nzb:].set(blk[::-1, ::-1])
+    return v
+
+
 # --------------------------------------------------------------------------
 # Sources
 # --------------------------------------------------------------------------

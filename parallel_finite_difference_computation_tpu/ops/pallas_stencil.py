@@ -113,7 +113,7 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
     out = pl.pallas_call(
         kern,
         grid=(n_tx, n_tz),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tx, tz), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tx * tx, n_tz * tz), jnp.float32),

@@ -88,18 +88,25 @@ def prepare_velocities_gpu(p: Params, vp: np.ndarray,
                            seed: int = 0) -> np.ndarray:
     """GPU-suite per-shot velocity prep (``fd-code.cu:442-494``): embed vp in
     the extended grid, then per shot either load the pre-extended model from
-    ``vel_ext_file`` or generate the random linear-ramp boundary; square last.
-    Returns (ns, nxe, nze) squared velocities."""
+    ``vel_ext_file`` or generate the random linear-ramp boundary — on device,
+    vmapped over shots (:func:`..numerics.extendvel_random_jax`), so
+    boundary generation scales with shot count/sharding instead of looping
+    on the host; square last. Returns (ns, nxe, nze) squared velocities."""
     if p.vel_ext_flag:
         vpe = io.read_vel_ext(p.vel_ext_file, p.ns, p.nxe, p.nze)
-    else:
-        base = np.zeros((p.nxe, p.nze), np.float32)
-        base[p.nxb:p.nxb + p.nx, p.nzb:p.nzb + p.nz] = vp
-        vpe = np.stack([
-            numerics.extendvel_random(base, p.nx, p.nz, p.nxb, p.nzb,
-                                      seed=seed + i)
-            for i in range(p.ns)])
-    return (vpe * vpe).astype(np.float32)
+        return (vpe * vpe).astype(np.float32)
+    base = np.zeros((p.nxe, p.nze), np.float32)
+    base[p.nxb:p.nxb + p.nx, p.nzb:p.nzb + p.nz] = vp
+
+    @jax.jit
+    def gen(b, keys):
+        ext = jax.vmap(lambda k: numerics.extendvel_random_jax(
+            b, p.nx, p.nz, p.nxb, p.nzb, k))(keys)
+        return ext * ext
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.key(seed), i))(jnp.arange(p.ns))
+    return gen(jnp.asarray(base), keys)
 
 
 # --------------------------------------------------------------------------

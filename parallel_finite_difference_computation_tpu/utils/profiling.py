@@ -20,7 +20,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sync", "timeit", "roofline_fraction", "device_hbm_gbps", "trace"]
+__all__ = ["sync", "timeit", "roofline_fraction", "device_hbm_gbps",
+           "vpu_ceiling_cell_rate", "stencil_ops_per_cell", "trace"]
 
 # Peak HBM bandwidth by device kind (GB/s); conservative public numbers.
 _HBM_GBPS = {
@@ -69,6 +70,41 @@ def roofline_fraction(nbytes: int, seconds: float, device=None) -> float:
     """Fraction of the device's HBM-bandwidth roofline achieved by moving
     ``nbytes`` in ``seconds`` (1.0 = at roofline)."""
     return (nbytes / seconds) / (device_hbm_gbps(device) * 1e9)
+
+
+# VPU ceiling model: one (8,128)-register vector ALU op per cycle.
+# Order-8 f32 stencils are *compute*-bound on v5e — arithmetic intensity
+# (~4.4 flop/byte at the 2-pass HBM traffic floor) exceeds the VPU/HBM
+# balance point — so the speed-of-light is the VPU issue rate, not HBM.
+_VPU_REG_LANES = 8 * 128
+_CLOCK_GHZ = {
+    "TPU v5 lite": 0.94,    # v5e
+    "TPU v5": 1.75,         # v5p
+    "TPU v4": 1.05,
+    "TPU v6 lite": 0.94,
+}
+
+
+def _device_clock_ghz(device=None) -> float:
+    d = device or jax.devices()[0]
+    for k, v in _CLOCK_GHZ.items():
+        if str(d.device_kind).startswith(k) or str(d).startswith(k):
+            return v
+    return 0.94
+
+
+def stencil_ops_per_cell(order: int) -> int:
+    """Vector-op count per output cell of the order-``order`` Laplacian with
+    premultiplied coefficients: (order+1) multiplies + order adds per axis,
+    plus the final combine — ``4*order + 3`` (35 for order 8)."""
+    return 4 * order + 3
+
+
+def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
+    """Speed-of-light cell-update rate (cells/s) under the VPU issue model:
+    8x128 vector lanes, one ALU op per lane per cycle at the device clock.
+    ~27.5 GCell/s for the order-8 Laplacian on v5e."""
+    return _VPU_REG_LANES * _device_clock_ghz(device) * 1e9 / ops_per_cell
 
 
 @contextlib.contextmanager

@@ -190,6 +190,49 @@ class TestExtendVel:
         out3 = numerics.extendvel_random(v, nx, nz, nxb, nzb, seed=8)
         assert not np.array_equal(out, out3)
 
+    def test_random_extension_jax_matches_semantics(self):
+        """On-device variant (extendvel_random_jax): same envelope/ramp
+        semantics as the host version, vmappable over per-shot keys with no
+        host step."""
+        import jax
+        import jax.numpy as jnp
+        nx, nz, nxb, nzb = 20, 15, 6, 6
+        nxe, nze = nx + 2 * nxb, nz + 2 * nzb
+        v = np.zeros((nxe, nze), np.float32)
+        v[nxb:nxb + nx, nzb:nzb + nz] = 3000.0
+        keys = jax.random.split(jax.random.key(0), 4)
+        outs = np.asarray(jax.jit(jax.vmap(
+            lambda k: numerics.extendvel_random_jax(
+                jnp.asarray(v), nx, nz, nxb, nzb, k)))(keys))
+        for out in outs:
+            np.testing.assert_array_equal(
+                out[nxb:nxb + nx, nzb:nzb + nz], 3000.0)       # interior
+            np.testing.assert_array_equal(out[nxb:nxb + nx, :nzb], 3000.0)
+            bot = out[nxb:nxb + nx, nzb + nz:]
+            assert bot.min() >= 300.0 - 200.0 - 1
+            assert bot.max() <= 3000.0 + 200.0
+            # ramp: mean decreases toward l_lim with depth into the border
+            col_means = bot.mean(axis=0)
+            assert col_means[0] > col_means[-1]
+            # uniform in [v_ave - delta, v + delta] -> mean (v_ave + v)/2,
+            # width 2*delta + (v - v_ave)
+            v_ave = 3000.0 - (3000.0 - 300.0) * np.arange(nzb) / (nzb - 1)
+            expect = (v_ave + 3000.0) / 2
+            width = 2 * 200.0 + (3000.0 - v_ave)
+            sigma = width / np.sqrt(12 * nx)
+            assert np.all(np.abs(col_means - expect) < 6 * sigma)
+            # side ramps stay in their envelopes too
+            left = out[:nxb, nzb:nzb + nz]
+            assert left.min() >= 300.0 - 200.0 - 1
+            assert left.max() <= 3000.0 + 200.0
+        # per-shot keys give distinct borders
+        assert not np.array_equal(outs[0], outs[1])
+        # statistical agreement with the host generator (border means)
+        host = numerics.extendvel_random(v, nx, nz, nxb, nzb, seed=3)
+        hb = host[nxb:nxb + nx, nzb + nz:].mean()
+        jb = np.stack([o[nxb:nxb + nx, nzb + nz:] for o in outs]).mean()
+        assert abs(hb - jb) < 120.0
+
 
 class TestGaussianPatch:
     def test_matches_ptsrc_loop(self):
