@@ -3,7 +3,8 @@
 The reference executes 4-6 separate CUDA kernel launches per time step, each
 streaming the full wavefield through device memory
 (``cuda_reference_RTM/src/fd-code.cu:259-267,302-333``). On TPU the entire
-extended grid of every reference config fits in VMEM (16 MB/core), so these
+extended grid of every reference config fits in VMEM (128 MiB/core on
+v5e; see the memory model below), so these
 kernels run the *whole nt-step time loop inside one kernel*: wavefields live
 in VMEM scratch for the full shot, HBM is touched only for the initial
 operand load and final result store, and each step is pure VPU work on
@@ -54,28 +55,66 @@ from ..solver import FDContext
 __all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas",
            "fd_forward_pallas", "fd_back_pallas"]
 
-# Mosaic's default scoped-VMEM cap is a conservative 16 MiB soft limit; the
-# hardware has more headroom, and the whole-shot kernels' working set
-# (fields + Mosaic's vector stack for the unrolled stencil taps) exceeds the
-# default on the larger reference configs. 32 MiB is the validated value
-# (new_mod compiles and runs with it) and is a permission, not an
-# allocation — Mosaic still uses only what it needs.
-_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+# Mosaic memory model (derived, not magic numbers):
+#  - VMEM is 128 MiB/core on v5e; Mosaic's default scoped-VMEM cap is a
+#    conservative 16 MiB soft limit that the whole-shot working set exceeds
+#    on the larger configs. The limit passed below is a permission derived
+#    from the estimated working set, not an allocation.
+#  - The working set of a whole-shot kernel is its grid-shaped buffers
+#    (operands + outputs + scratch) plus Mosaic's vector stack for the
+#    unrolled stencil taps, observed at ~12 grid-sized tiles.
+#  - SMEM is ~1 MiB/core and (nt, 1) scalar operands are stored there at
+#    ~512 B per element, so wavelets overflow SMEM around nt ~ 1800.
+_VMEM_PER_CORE = 128 * 1024 * 1024
+_STACK_GRIDS = 12
+_SMEM_BUDGET = 1 << 20
+_SMEM_BYTES_PER_SCALAR = 512
 
 
-def _compiler_params():
+def _wav_space(nt: int):
+    """Wavelet (nt, 1) placement, derived from the SMEM storage model
+    (~512 B/scalar against the ~1 MiB budget, 12.5% headroom); larger
+    wavelets live in VMEM (dynamic-sublane scalar reads work there too)."""
+    fits = nt * _SMEM_BYTES_PER_SCALAR <= _SMEM_BUDGET - (_SMEM_BUDGET >> 3)
+    return pltpu.SMEM if fits else pltpu.VMEM
+
+
+def _vmem_plan(ctx: "FDContext", n_grids: int, extra_bytes: int = 0,
+               interpret: bool = False, what: str = "kernel"):
+    """Working-set estimate -> proactive fit check + derived VMEM limit.
+
+    Raises early (before a doomed multi-minute Mosaic compile) when the
+    estimated working set cannot fit the core's VMEM, which lets the
+    pipeline's fallback chain (whole-shot -> split -> lax) respond
+    immediately. Returns CompilerParams with the limit rounded up to a
+    16 MiB multiple (minimum 32 MiB, the validated value for the largest
+    compiling reference config)."""
+    grid = ctx.nze * ctx.nxe * 4
+    if _wav_space(ctx.nt) is not pltpu.SMEM:
+        extra_bytes += ctx.nt * 4
+    est = grid * (n_grids + _STACK_GRIDS) + extra_bytes
+    if not interpret and est > _VMEM_PER_CORE:
+        raise ValueError(
+            f"{what}: estimated VMEM working set {est >> 20} MiB "
+            f"({n_grids}+{_STACK_GRIDS} grid buffers of "
+            f"{ctx.nze}x{ctx.nxe} f32) exceeds the {_VMEM_PER_CORE >> 20} "
+            f"MiB core VMEM; use the split kernels, the tiled/lax path, or "
+            f"x-domain decomposition")
+    limit = min(_VMEM_PER_CORE,
+                max(32 << 20, -(-est // (16 << 20)) * (16 << 20)))
     try:
-        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+        return pltpu.CompilerParams(vmem_limit_bytes=limit)
     except Exception:  # older/newer pallas API without the knob
         return None
 
 
-def _wav_space(nt: int):
-    """Wavelet (nt, 1) placement: SMEM scalars are stored at coarse
-    granularity and the SMEM budget is ~1 MiB, which overflows around
-    nt~2000; larger wavelets live in VMEM (dynamic-sublane scalar reads
-    work there too)."""
-    return pltpu.SMEM if nt <= 1800 else pltpu.VMEM
+def _compiler_params():
+    """Default params for small-slab kernels (e.g. the blocked domain
+    kernels): the validated 32 MiB permission."""
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=32 << 20)
+    except Exception:
+        return None
 
 
 def _coefs(ctx: FDContext):
@@ -188,7 +227,8 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
-        compiler_params=_compiler_params(),
+        compiler_params=_vmem_plan(ctx, 6, ctx.nt * ctx.nx * 4, interpret,
+                                   "forward_modeling_pallas"),
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
     return jnp.transpose(p), jnp.transpose(pp), seis
@@ -325,7 +365,8 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
-        compiler_params=_compiler_params(),
+        compiler_params=_vmem_plan(ctx, 7, ctx.nt * ctx.nx * 4, interpret,
+                                   "rtm_snapshot_pallas"),
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
       src_rows, dobs_tx)
@@ -447,7 +488,8 @@ def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
-        compiler_params=_compiler_params(),
+        compiler_params=_vmem_plan(ctx, 6, 0, interpret,
+                                   "fd_forward_pallas"),
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
     return jnp.transpose(p), jnp.transpose(pp)
@@ -478,7 +520,8 @@ def fd_back_pallas(ctx: FDContext, v2, snap_p, snap_pp, dobs, gz: int,
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
             pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
         ],
-        compiler_params=_compiler_params(),
+        compiler_params=_vmem_plan(ctx, 9, ctx.nt * ctx.nx * 4, interpret,
+                                   "fd_back_pallas"),
         interpret=interpret,
     )(jnp.transpose(v2), mask, jnp.transpose(snap_p),
       jnp.transpose(snap_pp), dobs_tx)

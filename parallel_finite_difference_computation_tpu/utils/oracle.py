@@ -47,6 +47,10 @@ CONFIGS = {
         "input": "cuda_reference_RTM/models/3lay_mod/input.dat",
         "model_dir": "cuda_reference_RTM/models/3lay_mod",
     },
+    "1lay": {
+        "input": "cuda_reference_RTM/models/1lay_mod/input.dat",
+        "model_dir": "cuda_reference_RTM/models/1lay_mod",
+    },
     "new_mod": {
         "input": "cuda_reference_RTM/models/new_mod/input.dat",
         "model_dir": "cuda_reference_RTM/models/new_mod",

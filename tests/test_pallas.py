@@ -113,3 +113,70 @@ class TestOtherOrders:
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(im1), np.asarray(im0),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMosaicMemoryModel:
+    """Derived (not magic) Mosaic memory limits: SMEM wavelet placement and
+    the proactive VMEM working-set check (pallas_fd._wav_space/_vmem_plan)."""
+
+    def test_wav_space_boundary(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            _wav_space, _SMEM_BUDGET, _SMEM_BYTES_PER_SCALAR)
+        cutoff = (_SMEM_BUDGET - (_SMEM_BUDGET >> 3)) // _SMEM_BYTES_PER_SCALAR
+        assert _wav_space(cutoff) is pltpu.SMEM
+        assert _wav_space(cutoff + 1) is pltpu.VMEM
+        # the model must keep the validated configs where they ran on TPU:
+        # 3lay/new_mod (nt<=1700) in SMEM, marmousi (nt=3004) in VMEM
+        assert _wav_space(1700) is pltpu.SMEM
+        assert _wav_space(3004) is pltpu.VMEM
+
+    @pytest.mark.parametrize("nt", [1790, 1794])
+    def test_kernel_runs_across_smem_boundary(self, rng, nt):
+        """Both sides of the SMEM/VMEM wavelet cutoff execute and agree with
+        the lax path (interpret mode; nt around the 1792 cutoff)."""
+        ctx, v2, wav = _setup(nt, rng, nx=12, nz=10, nxb=4, nzb=4)
+        dobs = jnp.asarray(rng.standard_normal((ctx.nx, nt)), jnp.float32)
+        got = rtm_snapshot_pallas(ctx, v2, wav, dobs, 10, 5, 5,
+                                  interpret=True)
+        ref = rtm_shot_snapshot(ctx, v2, wav, dobs, 10, 5, 5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_vmem_overflow_raises_before_compile(self, rng):
+        """A config whose working set exceeds core VMEM fails fast with a
+        clear error instead of a doomed multi-minute Mosaic compile."""
+        ctx = FDContext.create(1500, 1500, 8, dx=10.0, dz=10.0, dt=0.001,
+                               order=8, nxb=16, nzb=16, fac=0.7)
+        v2 = jnp.ones((ctx.nxe, ctx.nze), jnp.float32)
+        wav = jnp.zeros((8,), jnp.float32)
+        dobs = jnp.zeros((ctx.nx, 8), jnp.float32)
+        with pytest.raises(ValueError, match="VMEM working set"):
+            rtm_snapshot_pallas(ctx, v2, wav, dobs, 100, 5, 5)
+
+    def test_pipeline_falls_back_on_vmem_overflow(self, monkeypatch, rng):
+        """backend='auto' degrades whole-shot -> split -> lax when the
+        working set cannot fit; forced here by shrinking the modeled core
+        VMEM below any kernel's needs."""
+        import warnings
+        import parallel_finite_difference_computation_tpu as pfdc
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.ops import pallas_fd
+        from parallel_finite_difference_computation_tpu.models import (
+            layered_model)
+        monkeypatch.setattr(pallas_fd, "_VMEM_PER_CORE", 1 << 10)
+        monkeypatch.setattr(pipeline, "_use_pallas", lambda backend: True)
+        p = pfdc.Params(nz=16, nx=16, nt=10, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=25.0, ns=2, sz=0, fsx=2, ds=4, gz=0,
+                        nxb=4, nzb=4, fac=0.7, order=8)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[8])
+        dobs = rng.standard_normal((p.ns, p.nx, p.nt)).astype(np.float32)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            img, imlocs = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs,
+                                               backend="auto")
+        assert any("falling back to the lax path" in str(x.message)
+                   for x in w)
+        ref_img, _ = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs,
+                                          backend="lax")
+        np.testing.assert_allclose(img, ref_img, rtol=1e-5, atol=1e-6)

@@ -168,6 +168,98 @@ def config5_domain_division(quick=False):
            f"{dt:.2f}s on {n} cpu devices, halo={ctx.order // 2}")
 
 
+def config6_gpu_oracle(quick=False):
+    """GPU-suite two-snapshot RTM vs the serial C oracle at full config —
+    the external value gate for the flagship path (whole-shot Pallas on
+    TPU via backend=auto for 3lay; lax for the larger configs to keep
+    validate's compile budget bounded; the Pallas/lax equivalence is
+    separately bit-gated in bench/tests)."""
+    import tempfile
+    from parallel_finite_difference_computation_tpu.utils.oracle import (
+        gpu_goldens)
+    names = ["3lay_gpu", "1lay"] + ([] if quick else ["new_mod"])
+    for name in names:
+        try:
+            paths = gpu_goldens(name)
+        except FileNotFoundError as e:
+            record(f"6. GPU-suite RTM vs C oracle ({name})", "SKIP",
+                   "reference artifact missing", str(e)[:40])
+            continue
+        p = pfdc.parse_input_dat(str(paths["input_parity"]))
+        backend = "auto" if name == "3lay_gpu" else "lax"
+        with tempfile.TemporaryDirectory() as td:
+            img, imlocs = pipeline.run_rtm_gpu(p, backend=backend,
+                                               outdir=td,
+                                               write_image_num=True)
+            golden = np.fromfile(paths["dir_image"],
+                                 np.float32).reshape(p.nx, p.nz)
+            gims = np.fromfile(paths["imlocs"],
+                               np.float32).reshape(p.ns, p.nx, p.nz)
+            r = rel_rms(np.asarray(img), golden)
+            rs = max(rel_rms(np.asarray(imlocs[i]), gims[i])
+                     for i in range(p.ns))
+            got_num = io.read_image_num(os.path.join(td, "image.num"))
+            want_num = io.read_image_num(str(paths["image_num"]))
+            num_ok = len(got_num) == len(want_num) and all(
+                np.sqrt(np.mean((np.asarray(a, np.float64)
+                                 - np.asarray(b, np.float64)) ** 2))
+                / max(float(np.sqrt(np.mean(np.asarray(b) ** 2))), 1e-3)
+                < GATE for a, b in zip(got_num, want_num))
+        ok = r < GATE and rs < GATE and num_ok
+        record(f"6. GPU-suite RTM vs C oracle ({name}, {backend})",
+               "PASS" if ok else "FAIL",
+               f"image {r:.2e}, worst shot {rs:.2e}, image.num "
+               + ("ok" if num_ok else "MISMATCH"),
+               f"ns={p.ns} nt={p.nt} {p.nx}x{p.nz}")
+
+    # split forward/backward kernels on the real chip, gated vs the oracle
+    if jax.devices()[0].platform == "tpu" and not quick:
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            fd_forward_pallas, fd_back_pallas)
+        paths = gpu_goldens("3lay_gpu")
+        p = pfdc.parse_input_dat(str(paths["input_parity"]))
+        g = Geometry.from_params(p)
+        ctx = FDContext.from_params(p, exact_taper=True)
+        vel2 = pipeline.prepare_velocities_gpu(
+            p, io.read_velocity(p.vpfile, p.nx, p.nz))
+        wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+        dobs = io.read_shot_gathers(p.datfile, p.ns, p.nx, p.nt)
+        snapP, snapPP = fd_forward_pallas(ctx, jnp.asarray(vel2[0]), wav,
+                                          g.sx[0], g.sz)
+        im = fd_back_pallas(ctx, jnp.asarray(vel2[0]), snapP, snapPP,
+                            jnp.asarray(dobs[0]), g.gz)
+        gims = np.fromfile(paths["imlocs"], np.float32).reshape(
+            p.ns, p.nx, p.nz)
+        r = rel_rms(np.asarray(im), gims[0])
+        record("6b. split fd_forward/fd_back Pallas kernels vs oracle (TPU)",
+               "PASS" if r < GATE else "FAIL", f"shot 0 rel RMS {r:.2e}",
+               "compiled Mosaic, 3lay full config")
+
+
+def config7_rtm_main_multishot():
+    """Multi-shot rtm_main parity (ns=3 golden from the rebuilt reference
+    binaries, incl. the cross-shot it=0 flat-read quirk)."""
+    from parallel_finite_difference_computation_tpu.utils.oracle import (
+        rtm_main_goldens)
+    try:
+        gpaths = rtm_main_goldens(ns=3)
+    except FileNotFoundError as e:
+        record("7. rtm_main ns=3 parity", "SKIP", "reference missing",
+               str(e)[:40])
+        return
+    p = pfdc.parse_input_dat(str(gpaths["input"]))
+    img, imlocs = pipeline.run_rtm_cpu(p)
+    gimg = np.fromfile(gpaths["dir_image"], np.float32).reshape(p.nx, p.nz)
+    gims = np.fromfile(gpaths["dir_img"], np.float32).reshape(
+        p.ns, p.nx, p.nz)
+    r = rel_rms(np.asarray(img), gimg)
+    rs = max(rel_rms(np.asarray(imlocs[i]), gims[i]) for i in range(p.ns))
+    record("7. rtm_main ns=3 parity (rebuilt reference binaries)",
+           "PASS" if r < GATE and rs < GATE else "FAIL",
+           f"image {r:.2e}, worst shot {rs:.2e}",
+           "cross-shot OOB flat-read emulated")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -180,9 +272,11 @@ def main():
     config3_full_rtm()
     config4_checkpointed()
     config5_domain_division(quick=args.quick)
+    config6_gpu_oracle(quick=args.quick)
+    config7_rtm_main_multishot()
 
     with open("VALIDATION.md", "w") as f:
-        f.write("# Validation report — five BASELINE configs\n\n")
+        f.write("# Validation report — BASELINE configs + oracle gates\n\n")
         f.write(f"Device: {dev} ({dev.platform})\n\n")
         f.write("| Config | Status | Parity metric | Detail |\n|---|---|---|---|\n")
         for row in results:
