@@ -110,6 +110,17 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
     kern = functools.partial(_kernel, order, nx, tx, tz, chunk_w, n_tz,
                              cz, cx)
 
+    # scoped-VMEM permission derived from the working set: 2 input slots +
+    # 2 output windows + Mosaic's ~12-tile vector stack (the default 16 MiB
+    # cap crashes the compile for large tiles)
+    est = ((2 + 12) * (tx + order) * chunk_w + 2 * tx * tz) * 4
+    try:
+        cp = pltpu.CompilerParams(
+            vmem_limit_bytes=min(128 << 20,
+                                 max(32 << 20, -(-est // (16 << 20))
+                                     * (16 << 20))))
+    except Exception:
+        cp = None
     out = pl.pallas_call(
         kern,
         grid=(n_tx, n_tz),
@@ -121,6 +132,7 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
             pltpu.VMEM((2, tx + order, chunk_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=cp,
         interpret=interpret,
     )(p_pad)
     out = out[:nx, :nz]

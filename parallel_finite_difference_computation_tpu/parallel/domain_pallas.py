@@ -44,7 +44,8 @@ from ..ops.stencil import laplacian
 from ..ops.pallas_fd import _compiler_params
 from ..solver import FDContext
 
-__all__ = ["make_sharded_rtm_snapshot_pallas", "halo_exchange_lanes"]
+__all__ = ["make_sharded_rtm_snapshot_pallas",
+           "make_sharded_forward_modeling_pallas", "halo_exchange_lanes"]
 
 
 def halo_exchange_lanes(field, H: int, axis_name: str, n_shards: int):
@@ -140,9 +141,141 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
     ppr_out[:, :] = rV[:, ctr]
 
 
+def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
+                      H: int, v2m_ref, mask_ref, src_ref, wav_ref,
+                      p_in, pp_in, seis_ref, p_out, pp_out, X, Y):
+    """K forward-modeling steps (``mod_main.cpp:146-168`` semantics:
+    update, inject, taper both, record row gz of the tapered old field) on
+    the halo-extended slab; seismogram rows recorded on the device's own
+    lanes only."""
+    dt2 = jnp.float32(ctx.dt2)
+    cz = [float(v) for v in ctx.coefs_z]
+    cx = [float(v) for v in ctx.coefs_x]
+    band = slice(sz - r, sz + r + 1)
+    X[:, :] = p_in[:, :]
+    Y[:, :] = pp_in[:, :]
+    for k in range(K):
+        src, dst = (X, Y) if k % 2 == 0 else (Y, X)
+        p = src[:, :]
+        upd = (2.0 * p - dst[:, :]
+               + v2m_ref[:, :] * dt2 * laplacian(p, cz, cx, ctx.order))
+        dst[:, :] = upd * mask_ref[:, :]
+        dst[band, :] = ((upd[band, :] + wav_ref[k, 0] * src_ref[:, :])
+                        * mask_ref[band, :])
+        tp = p * mask_ref[:, :]
+        src[:, :] = tp
+        seis_ref[k:k + 1, :] = tp[gz:gz + 1, H:H + nxl]
+    pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
+    p_out[:, :] = pX[:, H:H + nxl]
+    pp_out[:, :] = pY[:, H:H + nxl]
+
+
 # --------------------------------------------------------------------------
-# Wrapper
+# Wrappers
 # --------------------------------------------------------------------------
+
+def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
+                                         sz: int, gz: int,
+                                         source: str = "gaussian",
+                                         taper: str = "all",
+                                         block_k: int = 8,
+                                         interpret: bool = False):
+    """Shot+x-domain-parallel forward modeling with blocked VMEM kernels —
+    the fused production path for ``mod_main`` at pod scale (same
+    communication-avoiding scheme as
+    :func:`make_sharded_rtm_snapshot_pallas`).
+
+    Returns ``fn(v2, sxs, wavelet) -> seis`` with ``v2`` (ns, nxe, nze),
+    ``sxs`` (ns,) absolute source lanes, and ``seis`` (ns, nt, nxe)
+    extended-row seismograms — the contract of
+    :func:`.domain.make_sharded_forward_modeling` with positional sources.
+    """
+    n_x = mesh.shape["x"]
+    if ctx.nxe % n_x:
+        raise ValueError(f"nxe={ctx.nxe} not divisible by x={n_x} shards")
+    nxl = ctx.nxe // n_x
+    h = ctx.order // 2
+    K = int(block_k)
+    H = K * h
+    if H > nxl:
+        raise ValueError(
+            f"halo width K*h={H} exceeds the local slab width nxl={nxl}; "
+            f"lower block_k to <= {nxl // h} or use fewer x shards")
+    nxw = nxl + 2 * H
+    nb, tail = divmod(ctx.nt, K)
+    gaussian = source == "gaussian"
+    r = ctx.source_patch.shape[0] // 2 if gaussian else 0
+    mask_glob = jnp.asarray(
+        ctx.mask_all if taper == "all" else ctx.mask_top)
+    cp = _compiler_params()
+    slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
+
+    def _call(k_steps):
+        kern = functools.partial(_mod_block_kernel, ctx, sz, gz, r, k_steps,
+                                 nxl, H)
+        return pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((k_steps, nxl), jnp.float32),
+                       slab, slab),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            scratch_shapes=[pltpu.VMEM((ctx.nze, nxw), jnp.float32)] * 2,
+            compiler_params=cp,
+            interpret=interpret,
+        )
+
+    def body(v2, sx, wavelet):
+        row0 = jax.lax.axis_index("x") * nxl
+        glob = row0 - H + jnp.arange(nxw)
+        lane = ((glob >= h) & (glob < ctx.nxe - h)).astype(jnp.float32)
+        mask_l = jax.lax.dynamic_slice(mask_glob, (row0, 0), (nxl, ctx.nze))
+        mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x)
+        v2m_e = halo_exchange_lanes(v2.T, H, "x", n_x) * lane[None, :]
+        dx = (glob - sx).astype(jnp.float32)
+        if gaussian:
+            dzr = jnp.arange(-r, r + 1, dtype=jnp.float32)[:, None]
+            rows = jnp.exp(-dzr * dzr - dx * dx)
+            src_row = jnp.where(jnp.abs(dx) <= r, rows, 0.0)
+        else:
+            src_row = (glob == sx).astype(jnp.float32)[None, :]
+        wav2 = wavelet.reshape(ctx.nt, 1)
+        zc = jnp.zeros((ctx.nze, nxl), jnp.float32)
+        call_k = _call(K)
+
+        def block(carry, xs):
+            p, pp = carry
+            pe = halo_exchange_lanes(p, H, "x", n_x)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x)
+            seis, p2, pp2 = call_k(v2m_e, mask_e, src_row, xs, pe, ppe)
+            return (p2, pp2), seis
+
+        (p, pp), seis = jax.lax.scan(block, (zc, zc),
+                                     wav2[:nb * K].reshape(nb, K, 1))
+        seis = seis.reshape(nb * K, nxl)
+        if tail:
+            call_t = _call(tail)
+            pe = halo_exchange_lanes(p, H, "x", n_x)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x)
+            seis_t, _, _ = call_t(v2m_e, mask_e, src_row, wav2[nb * K:],
+                                  pe, ppe)
+            seis = jnp.concatenate([seis, seis_t], axis=0)
+        return seis
+
+    sharded = shard_map(
+        jax.vmap(body, in_axes=(0, 0, None)),
+        mesh=mesh,
+        in_specs=(P("shot", "x", None), P("shot"), P()),
+        out_specs=P("shot", None, "x"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(v2, sxs, wavelet):
+        return sharded(v2, jnp.asarray(sxs, jnp.int32), wavelet)
+
+    return fn
+
 
 def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
                                      gz: int, block_k: int = 8,

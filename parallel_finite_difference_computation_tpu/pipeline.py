@@ -140,9 +140,13 @@ def run_stencil(p: Params, input_path: Optional[str] = None,
 
 def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                  out_datfile: Optional[str] = None,
-                 backend: str = "auto") -> np.ndarray:
+                 backend: str = "auto", mesh=None) -> np.ndarray:
     """``mod_main``: model all shots, return (ns, nx, nt) gathers and
-    optionally write the raw ``datfile`` blob the RTM programs read."""
+    optionally write the raw ``datfile`` blob the RTM programs read.
+
+    With a (shot, x) ``mesh``, shots shard over ``shot`` and the grid
+    decomposes over ``x`` using the blocked halo-exchange Pallas kernels
+    (lax formulation as fallback)."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     vel2 = jnp.asarray(prepare_velocity_cpu(p, vp))
@@ -151,6 +155,10 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
                                               truncated=True))
     sxs = jnp.asarray(g.sx)
+
+    if mesh is not None and mesh.shape.get("x", 1) > 1:
+        return _run_modeling_domain(p, ctx, g, wav, vel2, mesh, backend,
+                                    out_datfile)
 
     run_pallas = None
     if _use_pallas(backend):
@@ -165,6 +173,48 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                                     record="trace")[2])
     seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend)  # (ns, nt, nx)
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
+    if out_datfile:
+        io.write_f32(out_datfile, data)
+    return data
+
+
+def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
+                         out_datfile):
+    """x-domain-decomposed forward modeling over a (shot, x) mesh."""
+    from .parallel.domain import make_sharded_forward_modeling
+    from .parallel.domain_pallas import make_sharded_forward_modeling_pallas
+    from .parallel.domain import _embed_sources
+    from .parallel.shots import pad_shots
+    n_shot = mesh.shape.get("shot", 1)
+    n_x = mesh.shape["x"]
+    if ctx.nxe % n_x:
+        raise ValueError(f"extended grid nxe={ctx.nxe} must divide by the "
+                         f"mesh x size {n_x}")
+    sx_pad, ns = pad_shots(np.asarray(g.sx, np.int32), n_shot)
+    # padded dummy shots reuse a real source position (their output is
+    # discarded; sx=0 would put the Gaussian patch out of bounds)
+    sx_pad[ns:] = sx_pad[0]
+    v_pad = np.broadcast_to(np.asarray(vel2),
+                            (len(sx_pad),) + np.asarray(vel2).shape).copy()
+
+    run_pallas = None
+    if _use_pallas(backend):
+        h = ctx.order // 2
+        block_k = max(1, min(8, (ctx.nxe // n_x) // h, ctx.nt))
+        fn_pl = make_sharded_forward_modeling_pallas(
+            ctx, mesh, g.sz, g.gz, source="gaussian", taper="all",
+            block_k=block_k)
+        run_pallas = lambda: fn_pl(v_pad, sx_pad, wav)
+    fn_lax = make_sharded_forward_modeling(ctx, mesh, g.gz,
+                                           source="gaussian", taper="all")
+    srcf = np.stack([_embed_sources(ctx, int(s), g.sz, gaussian=True)
+                     for s in sx_pad])
+    run_lax = lambda: fn_lax(v_pad, srcf, wav)
+    seis_ext = _run_with_fallback(
+        run_pallas and (lambda *a: run_pallas()),
+        lambda *a: run_lax(), (), backend)
+    seis = seis_ext[:ns, :, ctx.nxb:ctx.nxb + ctx.nx]
+    data = np.transpose(seis, (0, 2, 1))
     if out_datfile:
         io.write_f32(out_datfile, data)
     return data

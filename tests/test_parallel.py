@@ -278,3 +278,46 @@ class TestRtmGpuDomainMesh:
         scale = np.abs(im0).max()
         np.testing.assert_allclose(im1 / scale, im0 / scale, atol=1e-5)
         np.testing.assert_allclose(img1 / scale, img0 / scale, atol=1e-5)
+
+
+class TestModDomainPallas:
+    """Blocked-kernel sharded forward modeling vs the unsharded solver."""
+
+    @pytest.mark.parametrize("source,taper,nt,k", [
+        ("point", "top", 40, 4), ("gaussian", "all", 42, 4)])
+    def test_matches_unsharded(self, rng, mesh4, source, taper, nt, k):
+        from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
+            import make_sharded_forward_modeling_pallas
+        from parallel_finite_difference_computation_tpu.solver import (
+            forward_modeling)
+        ctx = _ctx(nx=56, nt=nt)
+        ns, sz, gz = 2, 8, 5
+        sxs = np.asarray([18, 34], np.int32)
+        v2 = (1500.0 + 500.0 * rng.random((ns, ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        fn = make_sharded_forward_modeling_pallas(ctx, mesh4, sz, gz,
+                                                  source=source, taper=taper,
+                                                  block_k=k, interpret=True)
+        seis = np.asarray(fn(v2, sxs, wav))[:, :, ctx.nxb:ctx.nxb + ctx.nx]
+        ref = np.stack([
+            np.asarray(forward_modeling(ctx, jnp.asarray(v2[i]), wav,
+                                        int(sxs[i]), sz, gz, source=source,
+                                        taper=taper, record="trace")[2])
+            for i in range(ns)])
+        scale = np.abs(ref).max() or 1.0
+        np.testing.assert_allclose(seis / scale, ref / scale, atol=2e-6)
+
+    def test_run_modeling_with_x_mesh(self, mesh4):
+        import parallel_finite_difference_computation_tpu as pfdc
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.models import (
+            layered_model)
+        p = pfdc.Params(nz=24, nx=24, nt=40, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=25.0, ns=3, sz=0, fsx=2, ds=8, gz=0,
+                        nxb=4, nzb=4, fac=0.01, order=8)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+        d0 = pipeline.run_modeling(p, vp=vp, backend="lax")
+        d1 = pipeline.run_modeling(p, vp=vp, backend="lax", mesh=mesh4)
+        scale = np.abs(d0).max() or 1.0
+        np.testing.assert_allclose(d1 / scale, d0 / scale, atol=1e-5)
