@@ -34,6 +34,18 @@ def _config_arg(arg: str) -> str:
     return arg.split("=", 1)[1] if arg.startswith("par=") else arg
 
 
+def _mesh_from_args(args):
+    """Build a (shot, x) mesh from --shards-shot/--shards-x (None if 1x1).
+    Multi-chip runs shard shots and/or decompose the grid over x; on a
+    single chip a 1x1 mesh still exercises the sharded program."""
+    n_shot = getattr(args, "shards_shot", 1)
+    n_x = getattr(args, "shards_x", 1)
+    if n_shot * n_x <= 1:
+        return None
+    from .parallel import make_mesh
+    return make_mesh(n_shot=n_shot, n_x=n_x)
+
+
 def _echo(p):
     print(f"## vp = {p.vpfile} \n## nz = {p.nz}, nx = {p.nx}, nt = {p.nt} ")
     print(f"## dz = {p.dz}, dx = {p.dx}, dt = {p.dt} ")
@@ -56,7 +68,8 @@ def cmd_mod(args):
     _echo(p)
     out = args.output or p.datfile or "dobs.bin"
     t0 = time.time()
-    data = pipeline.run_modeling(p, out_datfile=out, backend=args.backend)
+    data = pipeline.run_modeling(p, out_datfile=out, backend=args.backend,
+                                 mesh=_mesh_from_args(args))
     print(f"> Exec time = {time.time() - t0:.2f} (s)")
     print(f"wrote {data.shape} shot gathers to {out}")
 
@@ -67,7 +80,8 @@ def cmd_rtm(args):
     outdir = args.outdir or (p.tmpdir if p.tmpdir and os.path.isdir(p.tmpdir)
                              else ".")
     t0 = time.time()
-    img, imlocs = pipeline.run_rtm_cpu(p, outdir=outdir)
+    img, imlocs = pipeline.run_rtm_cpu(p, outdir=outdir,
+                                       mesh=_mesh_from_args(args))
     print(f"Execution Time: {time.time() - t0:.2f} seconds")
     print(f"wrote dir.image / dir.img to {outdir}")
 
@@ -80,7 +94,8 @@ def cmd_rtm_gpu(args):
     t0 = time.time()
     img, imlocs = pipeline.run_rtm_gpu(
         p, seed=args.seed, outdir=outdir,
-        write_image_num=args.image_num, backend=args.backend)
+        write_image_num=args.image_num, backend=args.backend,
+        mesh=_mesh_from_args(args))
     print(f"> Exec time = {time.time() - t0:.2f} (s)")
     print(f"wrote dir.image to {outdir}"
           + (" (+ image.num)" if args.image_num else ""))
@@ -133,6 +148,14 @@ def main(argv=None):
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--image-num", action="store_true",
                            dest="image_num")
+        if name != "stencil":
+            s.add_argument("--shards-shot", type=int, default=1,
+                           dest="shards_shot",
+                           help="mesh size along the shot axis")
+            s.add_argument("--shards-x", type=int, default=1,
+                           dest="shards_x",
+                           help="mesh size along the grid x axis "
+                                "(domain decomposition)")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("psnr")

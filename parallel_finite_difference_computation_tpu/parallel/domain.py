@@ -124,9 +124,14 @@ def make_sharded_forward_modeling(ctx: FDContext, mesh: Mesh, gz: int,
     ``ctx.nxe`` must divide evenly by the mesh's x size (pad upstream).
     """
     n_x = mesh.shape["x"]
-    if ctx.nxe % n_x:
-        raise ValueError(f"nxe={ctx.nxe} not divisible by x={n_x} shards")
-    mask = jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top)
+    # non-dividing grids zero-pad the x axis: padded columns have v2 = 0 so
+    # their fields stay exactly 0, and the global interior mask (built from
+    # the ORIGINAL nxe) preserves the right-edge Laplacian semantics
+    nxe_pad = -(-ctx.nxe // n_x) * n_x
+    pad = nxe_pad - ctx.nxe
+    mask = jnp.asarray(np.pad(
+        np.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
+        ((0, pad), (0, 0))))
     gzcol = jnp.asarray(_zcol_onehot(ctx, gz))
 
     def body(v2, srcf, mask_l, wavelet):
@@ -155,7 +160,10 @@ def make_sharded_forward_modeling(ctx: FDContext, mesh: Mesh, gz: int,
 
     @jax.jit
     def fn(v2, src_fields, wavelet):
-        return sharded(v2, src_fields, mask, wavelet)
+        if pad:
+            v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+            src_fields = jnp.pad(src_fields, ((0, 0), (0, pad), (0, 0)))
+        return sharded(v2, src_fields, mask, wavelet)[:, :, :ctx.nxe]
 
     return fn
 
@@ -172,12 +180,12 @@ def make_sharded_rtm_snapshot(ctx: FDContext, mesh: Mesh, gz: int):
     stack with ``.sum(0)``).
     """
     n_x = mesh.shape["x"]
-    if ctx.nxe % n_x:
-        raise ValueError(f"nxe={ctx.nxe} not divisible by x={n_x} shards")
-    mask = jnp.asarray(ctx.mask_top)
+    nxe_pad = -(-ctx.nxe // n_x) * n_x   # zero-pad (see modeling note)
+    pad = nxe_pad - ctx.nxe
+    mask = jnp.asarray(np.pad(np.asarray(ctx.mask_top), ((0, pad), (0, 0))))
     gzcol = jnp.asarray(_zcol_onehot(ctx, gz))
-    # interior indicator for the imaging condition (K6 region)
-    im = np.zeros((ctx.nxe, ctx.nze), np.float32)
+    # interior indicator for the imaging condition (K6 region), padded 0
+    im = np.zeros((nxe_pad, ctx.nze), np.float32)
     im[ctx.nxb:ctx.nxe - ctx.nxb, ctx.nzb:ctx.nze - ctx.nzb] = 1.0
     im_mask = jnp.asarray(im)
 
@@ -229,7 +237,12 @@ def make_sharded_rtm_snapshot(ctx: FDContext, mesh: Mesh, gz: int):
 
     @jax.jit
     def fn(v2, src_fields, wavelet, dobs_ext):
-        return sharded(v2, src_fields, dobs_ext, mask, im_mask, wavelet)
+        if pad:
+            v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+            src_fields = jnp.pad(src_fields, ((0, 0), (0, pad), (0, 0)))
+            dobs_ext = jnp.pad(dobs_ext, ((0, 0), (0, pad), (0, 0)))
+        out = sharded(v2, src_fields, dobs_ext, mask, im_mask, wavelet)
+        return out[:, :ctx.nxe, :]
 
     return fn
 

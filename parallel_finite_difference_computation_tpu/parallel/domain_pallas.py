@@ -191,9 +191,8 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
     :func:`.domain.make_sharded_forward_modeling` with positional sources.
     """
     n_x = mesh.shape["x"]
-    if ctx.nxe % n_x:
-        raise ValueError(f"nxe={ctx.nxe} not divisible by x={n_x} shards")
-    nxl = ctx.nxe // n_x
+    nxe_pad = -(-ctx.nxe // n_x) * n_x     # zero-pad (see RTM wrapper note)
+    nxl = nxe_pad // n_x
     h = ctx.order // 2
     K = int(block_k)
     H = K * h
@@ -205,8 +204,9 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
     nb, tail = divmod(ctx.nt, K)
     gaussian = source == "gaussian"
     r = ctx.source_patch.shape[0] // 2 if gaussian else 0
-    mask_glob = jnp.asarray(
-        ctx.mask_all if taper == "all" else ctx.mask_top)
+    mask_glob = jnp.asarray(np.pad(
+        np.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
+        ((0, nxe_pad - ctx.nxe), (0, 0))))
     cp = _compiler_params()
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
 
@@ -270,9 +270,14 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
         check_vma=False,
     )
 
+    pad = nxe_pad - ctx.nxe
+
     @jax.jit
     def fn(v2, sxs, wavelet):
-        return sharded(v2, jnp.asarray(sxs, jnp.int32), wavelet)
+        if pad:
+            v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+        out = sharded(v2, jnp.asarray(sxs, jnp.int32), wavelet)
+        return out[:, :, :ctx.nxe]
 
     return fn
 
@@ -296,9 +301,8 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     ``cuda_reference_RTM/src/fd-code.cu:259-267,302-333`` decomposed over x.
     """
     n_x = mesh.shape["x"]
-    if ctx.nxe % n_x:
-        raise ValueError(f"nxe={ctx.nxe} not divisible by x={n_x} shards")
-    nxl = ctx.nxe // n_x
+    nxe_pad = -(-ctx.nxe // n_x) * n_x     # zero-pad (see RTM wrapper note)
+    nxl = nxe_pad // n_x
     h = ctx.order // 2
     K = int(block_k)
     H = K * h
@@ -312,7 +316,8 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
                          f"path (make_sharded_rtm_snapshot) for tiny runs")
     nxw = nxl + 2 * H
     nb, tail = divmod(ctx.nt, K)
-    mask_glob = jnp.asarray(ctx.mask_top)  # (nxe, nze) x-major
+    mask_glob = jnp.asarray(np.pad(np.asarray(ctx.mask_top),
+                                   ((0, nxe_pad - ctx.nxe), (0, 0))))
     cp = _compiler_params()
 
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
@@ -434,8 +439,14 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
         check_vma=False,
     )
 
+    pad = nxe_pad - ctx.nxe
+
     @jax.jit
     def fn(v2, sxs, wavelet, dobs_ext):
-        return sharded(v2, jnp.asarray(sxs, jnp.int32), dobs_ext, wavelet)
+        if pad:
+            v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+            dobs_ext = jnp.pad(dobs_ext, ((0, 0), (0, pad), (0, 0)))
+        out = sharded(v2, jnp.asarray(sxs, jnp.int32), dobs_ext, wavelet)
+        return out[:, :ctx.nxe, :]
 
     return fn

@@ -187,9 +187,6 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
     from .parallel.shots import pad_shots
     n_shot = mesh.shape.get("shot", 1)
     n_x = mesh.shape["x"]
-    if ctx.nxe % n_x:
-        raise ValueError(f"extended grid nxe={ctx.nxe} must divide by the "
-                         f"mesh x size {n_x}")
     sx_pad, ns = pad_shots(np.asarray(g.sx, np.int32), n_shot)
     # padded dummy shots reuse a real source position (their output is
     # discarded; sx=0 would put the Gaussian patch out of bounds)
@@ -364,9 +361,6 @@ def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend):
     from .parallel.shots import pad_shots
     n_shot = mesh.shape.get("shot", 1)
     n_x = mesh.shape["x"]
-    if ctx.nxe % n_x:
-        raise ValueError(f"extended grid nxe={ctx.nxe} must divide by the "
-                         f"mesh x size {n_x}")
     v_pad, ns = pad_shots(np.asarray(vel2), n_shot)
     d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_shot)
     sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_shot)

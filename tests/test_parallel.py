@@ -321,3 +321,56 @@ class TestModDomainPallas:
         d1 = pipeline.run_modeling(p, vp=vp, backend="lax", mesh=mesh4)
         scale = np.abs(d0).max() or 1.0
         np.testing.assert_allclose(d1 / scale, d0 / scale, atol=1e-5)
+
+
+class TestDomainPadding:
+    """Grids whose nxe does not divide the x-shard count are zero-padded
+    (padded columns stay exactly zero; original-edge semantics preserved)."""
+
+    def test_rtm_snapshot_lax_padded(self, rng, mesh4):
+        ctx = _ctx(nx=23, nz=20, nt=24)  # nxe=31, 4 shards -> pad to 32
+        assert ctx.nxe % mesh4.shape["x"] != 0
+        ns, sz, gz = 2, 6, 5
+        sxs = [10, 14]
+        v2 = (1500.0 + 500.0 * rng.random((ns, ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
+        fn = make_sharded_rtm_snapshot(ctx, mesh4, gz)
+        srcf = embed_source_fields(ctx, sxs, sz, gaussian=False)
+        im_ext = np.asarray(fn(v2, srcf, wav, embed_dobs(ctx, dobs)))
+        assert im_ext.shape == (ns, ctx.nxe, ctx.nze)
+        got = im_ext[:, ctx.nxb:ctx.nxe - ctx.nxb,
+                     ctx.nzb:ctx.nze - ctx.nzb]
+        ref = np.stack([
+            np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2[i]), wav,
+                                         jnp.asarray(dobs[i]),
+                                         sxs[i], sz, gz))
+            for i in range(ns)])
+        scale = np.abs(ref).max() or 1.0
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+    def test_rtm_snapshot_pallas_padded(self, rng, mesh4):
+        from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
+            import make_sharded_rtm_snapshot_pallas
+        ctx = _ctx(nx=51, nt=24)  # nxe=59, 4 shards -> pad to 60, nxl=15
+        assert ctx.nxe % mesh4.shape["x"] != 0
+        ns, sz, gz = 2, 6, 5
+        sxs = np.asarray([18, 34], np.int32)
+        v2 = (1500.0 + 500.0 * rng.random((ns, ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
+        fn = make_sharded_rtm_snapshot_pallas(ctx, mesh4, sz, gz,
+                                              block_k=3, interpret=True)
+        im_ext = np.asarray(fn(v2, sxs, wav, embed_dobs(ctx, dobs)))
+        assert im_ext.shape == (ns, ctx.nxe, ctx.nze)
+        got = im_ext[:, ctx.nxb:ctx.nxe - ctx.nxb,
+                     ctx.nzb:ctx.nze - ctx.nzb]
+        ref = np.stack([
+            np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2[i]), wav,
+                                         jnp.asarray(dobs[i]),
+                                         int(sxs[i]), sz, gz))
+            for i in range(ns)])
+        scale = np.abs(ref).max() or 1.0
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
