@@ -321,6 +321,24 @@ GATE_REL_RMS = 1e-4
 def main():
     from parallel_finite_difference_computation_tpu.utils.profiling import (
         vpu_ceiling_cell_rate, stencil_ops_per_cell, device_hbm_gbps)
+    # PFDC_TRACE=<dir>: capture a jax.profiler trace of the headline
+    # benchmark for TensorBoard/XProf inspection
+    trace_dir = os.environ.get("PFDC_TRACE")
+    if trace_dir:
+        import contextlib
+        from parallel_finite_difference_computation_tpu.utils.profiling \
+            import trace as _trace
+        ctxmgr = _trace(trace_dir)
+    else:
+        import contextlib
+        ctxmgr = contextlib.nullcontext()
+    with ctxmgr:
+        return _main_body()
+
+
+def _main_body():
+    from parallel_finite_difference_computation_tpu.utils.profiling import (
+        vpu_ceiling_cell_rate, stencil_ops_per_cell, device_hbm_gbps)
     dev = jax.devices()[0]
     details = {"device": str(dev), "platform": dev.platform}
     floors = []
@@ -347,6 +365,11 @@ def main():
             cells / t_pallas) / vpu_ceiling_cell_rate(41)
         t_single = bench_rtm_pallas_single()
         details["rtm_3lay_pallas_s_per_shot_unbatched"] = t_single
+        try:
+            t_b32 = bench_rtm_pallas_batched(n_shots=32)
+            details["rtm_3lay_pallas_s_per_shot_batched32"] = t_b32
+        except Exception as e:
+            details["rtm_3lay_pallas_batched32_error"] = str(e)[:200]
         try:
             t_dom = bench_rtm_domain_pallas()
             details["rtm_3lay_domain_pallas_nx1_s_per_shot"] = t_dom

@@ -79,6 +79,22 @@ def main():
     err = np.abs(got - ref).max() / (np.abs(ref).max() or 1.0)
     print(f"sharded vs single-device max rel err: {err:.2e}")
     assert err < 1e-4
+
+    # the fused production path: blocked VMEM Pallas kernels exchanging
+    # K*order/2-wide halos once per K steps (interpret mode off-TPU)
+    from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
+        import make_sharded_rtm_snapshot_pallas
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fn_blk = make_sharded_rtm_snapshot_pallas(ctx, mesh, sz, gz, block_k=2,
+                                              interpret=not on_tpu)
+    t0 = time.time()
+    im_blk = np.asarray(fn_blk(v2s, np.asarray(sxs, np.int32), wav,
+                               embed_dobs(ctx, dobs)))
+    got_blk = im_blk[:, nxb:ctx.nxe - nxb, nzb:ctx.nze - nzb]
+    err_blk = np.abs(got_blk - ref).max() / (np.abs(ref).max() or 1.0)
+    print(f"blocked-Pallas domain path: {time.time() - t0:.2f}s, "
+          f"max rel err {err_blk:.2e}")
+    assert err_blk < 1e-4
     print("OK — halo exchange and shot sharding agree with single-device")
 
 
