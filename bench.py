@@ -271,7 +271,9 @@ def bench_stencil(repeats: int = 50):
 
 
 def bench_stencil_large(n: int = 8192, repeats: int = 16,
-                        tiles=((256, 512), (512, 512), (256, 1024))):
+                        tiles=(((128, 2048), 24 << 20),
+                               ((256, 512), 12 << 20),
+                               ((512, 512), 24 << 20))):
     """Production-size stencil via the tiled Pallas kernel (2D DMA tiles,
     double-buffered): GCell/s at n x n, autotuned over tile shapes and taken
     as best-of-5 per tile (pins the session-to-session variance round 1
@@ -286,13 +288,13 @@ def bench_stencil_large(n: int = 8192, repeats: int = 16,
     base = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
 
     best = (0.0, float("inf"), None)
-    for tile in tiles:
+    for tile, budget in tiles:
         @jax.jit
-        def chain(x, _tile=tile):
+        def chain(x, _tile=tile, _b=budget):
             y = x
             for k in range(repeats):
                 y = laplacian_pallas(y * (1.0 + 1e-9 * k), cx, cz, 8,
-                                     tile=_tile)
+                                     tile=_tile, vmem_budget=_b)
             return y
 
         make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
@@ -418,6 +420,20 @@ def _main_body():
         if mp:
             details["rtm_marmousi_pallas_s_per_shot"] = mp[0]
             details["rtm_marmousi_pallas_max_rel_vs_lax"] = mp[1]
+            details["rtm_marmousi_pallas_speedup_vs_cpu_reference"] = (
+                153.6 / mp[0])
+    else:
+        # preserve the full-bench-only entries from the previous record
+        # (the marmousi whole-shot kernel compile takes many minutes and
+        # only reruns with PFDC_BENCH_FULL=1)
+        try:
+            with open("BENCH_DETAILS.json") as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                if k.startswith("rtm_marmousi_pallas"):
+                    details[k] = v
+        except Exception:
+            pass
 
     details["floor_violations"] = floors
     with open("BENCH_DETAILS.json", "w") as f:

@@ -311,6 +311,9 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
             f"halo width K*h={H} exceeds the local slab width nxl={nxl}; "
             f"a single ppermute only reaches the adjacent neighbour — "
             f"lower block_k to <= {nxl // h} or use fewer x shards")
+    if K < 2:
+        raise ValueError("block_k must be >= 2: the first backward block "
+                         "seeds BOTH snapshots (steps 0 and 1)")
     if ctx.nt < 2 * K:
         raise ValueError(f"nt={ctx.nt} < 2*block_k={2 * K}; use the lax "
                          f"path (make_sharded_rtm_snapshot) for tiny runs")

@@ -369,10 +369,11 @@ def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend):
     run_pallas = None
     if _use_pallas(backend):
         h = ctx.order // 2
-        block_k = max(1, min(8, (ctx.nxe // n_x) // h, ctx.nt // 2))
-        fn_pl = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
-                                                 block_k=block_k)
-        run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
+        block_k = min(8, (ctx.nxe // n_x) // h, ctx.nt // 2)
+        if block_k >= 2:  # K<2 cannot seed both snapshots; lax handles it
+            fn_pl = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
+                                                     block_k=block_k)
+            run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
     fn_lax = make_sharded_rtm_snapshot(ctx, mesh, g.gz)
     srcf = embed_source_fields(ctx, [int(s) for s in sx_pad], g.sz,
                                gaussian=False)
