@@ -321,18 +321,15 @@ GATE_REL_RMS = 1e-4
 
 
 def main():
-    from parallel_finite_difference_computation_tpu.utils.profiling import (
-        vpu_ceiling_cell_rate, stencil_ops_per_cell, device_hbm_gbps)
-    # PFDC_TRACE=<dir>: capture a jax.profiler trace of the headline
-    # benchmark for TensorBoard/XProf inspection
+    # PFDC_TRACE=<dir>: capture a jax.profiler trace of the benchmarks
+    # for TensorBoard/XProf inspection
+    import contextlib
     trace_dir = os.environ.get("PFDC_TRACE")
     if trace_dir:
-        import contextlib
         from parallel_finite_difference_computation_tpu.utils.profiling \
             import trace as _trace
         ctxmgr = _trace(trace_dir)
     else:
-        import contextlib
         ctxmgr = contextlib.nullcontext()
     with ctxmgr:
         return _main_body()

@@ -100,8 +100,17 @@ def _vmem_plan(ctx: "FDContext", n_grids: int, extra_bytes: int = 0,
             f"{ctx.nze}x{ctx.nxe} f32) exceeds the {_VMEM_PER_CORE >> 20} "
             f"MiB core VMEM; use the split kernels, the tiled/lax path, or "
             f"x-domain decomposition")
+    return vmem_params(est)
+
+
+def vmem_params(est_bytes: int = 0):
+    """CompilerParams with the scoped-VMEM permission derived from an
+    estimated working set: >= the validated 32 MiB, rounded up to a 16 MiB
+    multiple, capped at the core size. The single home of this formula
+    (used by the whole-shot kernels, the blocked domain kernels, and the
+    tiled stencil)."""
     limit = min(_VMEM_PER_CORE,
-                max(32 << 20, -(-est // (16 << 20)) * (16 << 20)))
+                max(32 << 20, -(-est_bytes // (16 << 20)) * (16 << 20)))
     try:
         return pltpu.CompilerParams(vmem_limit_bytes=limit)
     except Exception:  # older/newer pallas API without the knob
@@ -111,10 +120,7 @@ def _vmem_plan(ctx: "FDContext", n_grids: int, extra_bytes: int = 0,
 def _compiler_params():
     """Default params for small-slab kernels (e.g. the blocked domain
     kernels): the validated 32 MiB permission."""
-    try:
-        return pltpu.CompilerParams(vmem_limit_bytes=32 << 20)
-    except Exception:
-        return None
+    return vmem_params(0)
 
 
 def _coefs(ctx: FDContext):

@@ -113,14 +113,8 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
     # scoped-VMEM permission derived from the working set: 2 input slots +
     # 2 output windows + Mosaic's ~12-tile vector stack (the default 16 MiB
     # cap crashes the compile for large tiles)
-    est = ((2 + 12) * (tx + order) * chunk_w + 2 * tx * tz) * 4
-    try:
-        cp = pltpu.CompilerParams(
-            vmem_limit_bytes=min(128 << 20,
-                                 max(32 << 20, -(-est // (16 << 20))
-                                     * (16 << 20))))
-    except Exception:
-        cp = None
+    from .pallas_fd import vmem_params
+    cp = vmem_params(((2 + 12) * (tx + order) * chunk_w + 2 * tx * tz) * 4)
     out = pl.pallas_call(
         kern,
         grid=(n_tx, n_tz),

@@ -2,8 +2,10 @@ from .mesh import make_mesh, shot_sharding
 from .shots import distribute_shots, pad_shots, make_sharded_rtm_pallas
 from .domain import (
     halo_exchange, sharded_laplacian, make_sharded_forward_modeling,
-    make_sharded_rtm_snapshot, embed_source_fields, embed_dobs,
+    make_sharded_rtm_snapshot, make_sharded_rtm_full,
+    embed_source_fields, embed_dobs, embed_injection_rows,
 )
 from .domain_pallas import (
     halo_exchange_lanes, make_sharded_rtm_snapshot_pallas,
+    make_sharded_forward_modeling_pallas,
 )

@@ -247,6 +247,92 @@ def make_sharded_rtm_snapshot(ctx: FDContext, mesh: Mesh, gz: int):
     return fn
 
 
+def make_sharded_rtm_full(ctx: FDContext, mesh: Mesh, gz: int):
+    """Shot+x-domain-parallel full-wavefield RTM — the ``rtm_main`` pipeline
+    (``dpct_gpu_rtm_domain_division/src/rtm_main.cpp:158-247``) decomposed
+    over the grid's x axis. Beyond compute parallelism this scales the
+    *memory-heavy* design point: the 2*nt stored wavefields split across
+    devices (each holds (nt, nxe/n_x, nze) slabs).
+
+    Returns ``fn(v2, src_fields, wavelet, inj_ext) -> imloc_ext`` with
+    ``inj_ext`` (ns, nt, nxe) receiver-injection rows already embedded at
+    the reference's x offset and carrying its it=0 flat-read quirk (build
+    with :func:`embed_injection_rows`); ``imloc_ext`` is (ns, nxe, nze)
+    (interior ``[nxb:-nxb, nzb:-nzb]`` equals the unsharded
+    ``rtm_shot_full``).
+    """
+    n_x = mesh.shape["x"]
+    nxe_pad = -(-ctx.nxe // n_x) * n_x   # zero-pad (see modeling note)
+    pad = nxe_pad - ctx.nxe
+    mask = jnp.asarray(np.pad(np.asarray(ctx.mask_top), ((0, pad), (0, 0))))
+    gzcol = jnp.asarray(_zcol_onehot(ctx, gz))
+    im = np.zeros((nxe_pad, ctx.nze), np.float32)
+    im[ctx.nxb:ctx.nxe - ctx.nxb, ctx.nzb:ctx.nze - ctx.nzb] = 1.0
+    im_mask = jnp.asarray(im)
+
+    def body(v2, srcf, inj, mask_l, im_l, wavelet):
+        # rtm_main step order: update, inject, taper both, record the
+        # tapered old field (full local slab; K6 interior applied at the
+        # end — exact, the indicator is 0/1)
+        def fstep(carry, amp):
+            p, pp = carry
+            ppn = _sharded_update(ctx, p, pp, v2, "x", n_x)
+            ppn = (ppn + amp * srcf) * mask_l
+            p = p * mask_l
+            return (ppn, p), p
+
+        z = jnp.zeros_like(v2)
+        _, swf = jax.lax.scan(fstep, (z, z), wavelet)
+
+        def bstep(carry, inj_t):
+            p, pp = carry
+            ppn = _sharded_update(ctx, p, pp, v2, "x", n_x)
+            ppn = (ppn + inj_t[:, None] * gzcol[None, :]) * mask_l
+            p = p * mask_l
+            return (ppn, p), p
+
+        _, rwf = jax.lax.scan(bstep, (z, z), inj)
+        return jnp.einsum("txz,txz->xz", swf[::-1], rwf) * im_l
+
+    sharded = shard_map(
+        jax.vmap(body, in_axes=(0, 0, 0, None, None, None)),
+        mesh=mesh,
+        in_specs=(P("shot", "x", None), P("shot", "x", None),
+                  P("shot", None, "x"), P("x", None), P("x", None), P()),
+        out_specs=P("shot", "x", None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(v2, src_fields, wavelet, inj_ext):
+        if pad:
+            v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+            src_fields = jnp.pad(src_fields, ((0, 0), (0, pad), (0, 0)))
+            inj_ext = jnp.pad(inj_ext, ((0, 0), (0, 0), (0, pad)))
+        out = sharded(v2, src_fields, inj_ext, mask, im_mask, wavelet)
+        return out[:, :ctx.nxe, :]
+
+    return fn
+
+
+def embed_injection_rows(ctx: FDContext, dobs: np.ndarray,
+                         x_off_quirk: bool = True) -> np.ndarray:
+    """(ns, nx, nt) observed data -> (ns, nt, nxe) receiver-injection rows
+    for :func:`make_sharded_rtm_full`: time-reversed with ``rtm_main``'s
+    it=0 flat-read (cross-shot) and nzb-offset quirks
+    (see ``solver._injection_rows``)."""
+    import jax.numpy as _jnp
+    from ..solver import _injection_rows
+    ns = dobs.shape[0]
+    x_off = ctx.nzb if x_off_quirk else ctx.nxb
+    out = np.zeros((ns, ctx.nt, ctx.nxe), np.float32)
+    for i in range(ns):
+        nxt = dobs[i + 1, 0, 0] if i + 1 < ns else np.float32(0.0)
+        rows = np.asarray(_injection_rows(ctx, _jnp.asarray(dobs[i]), nxt))
+        out[i, :, x_off:x_off + dobs.shape[1]] = rows
+    return out
+
+
 def embed_source_fields(ctx: FDContext, sxs, sz: int,
                         gaussian: bool = False) -> np.ndarray:
     """(ns, nxe, nze) per-shot injection fields for sources at (sxs[i], sz)."""

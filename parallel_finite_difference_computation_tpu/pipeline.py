@@ -171,7 +171,18 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
         lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
                                     source="gaussian", taper="all",
                                     record="trace")[2])
-    seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend)  # (ns, nt, nx)
+    ns = p.ns
+    if mesh is not None:
+        # shot-only mesh: shard the per-shot inputs over the shot axis (the
+        # sequential pallas lax.map cannot split across devices; the
+        # partitionable vmap path is used instead)
+        from .parallel.shots import distribute_shots, pad_shots
+        n_dev = mesh.shape.get("shot", 1)
+        sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
+        sx_pad[ns:] = sx_pad[0]
+        (sxs,) = distribute_shots(mesh, sx_pad)
+        run_pallas = None
+    seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend)[:ns]
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
     if out_datfile:
         io.write_f32(out_datfile, data)
@@ -225,7 +236,10 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     Returns ``(img, imlocs)`` — the stacked (nx, nz) image and the (ns, nx,
     nz) per-shot images. With ``outdir``, writes ``dir.image`` (stack) and
     ``dir.img`` (concatenated per-shot images), byte-compatible with
-    ``rtm_main.cpp:232,247``."""
+    ``rtm_main.cpp:232,247``.
+
+    A mesh with an x axis > 1 decomposes the grid (and the 2*nt stored
+    wavefields' memory) across devices."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     if dobs is None:
@@ -235,6 +249,13 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
                                               truncated=True))
+
+    if mesh is not None and mesh.shape.get("x", 1) > 1:
+        img, imlocs = _run_rtm_cpu_domain(p, ctx, g, wav, vel2, dobs, mesh)
+        if outdir:
+            io.write_image(os.path.join(outdir, "dir.image"), img)
+            io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
+        return img, imlocs
 
     run = jax.vmap(
         lambda sx, d, nx1: rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz,
@@ -259,6 +280,31 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
         io.write_image(os.path.join(outdir, "dir.image"), img)
         io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
     return img, imlocs
+
+
+def _run_rtm_cpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh):
+    """x-domain-decomposed full-wavefield RTM over a (shot, x) mesh
+    (:func:`..parallel.domain.make_sharded_rtm_full`)."""
+    from .parallel.domain import (make_sharded_rtm_full, embed_source_fields,
+                                  embed_injection_rows)
+    from .parallel.shots import pad_shots
+    n_shot = mesh.shape.get("shot", 1)
+    sx_pad, ns = pad_shots(np.asarray(g.sx, np.int32), n_shot)
+    sx_pad[ns:] = sx_pad[0]
+    d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_shot)
+    # zero the padded dummies' data; the genuine cross-shot it=0 samples
+    # are baked in per shot by embed_injection_rows
+    d_pad[ns:] = 0.0
+    inj_ext = embed_injection_rows(ctx, d_pad)
+    srcf = embed_source_fields(ctx, [int(s) for s in sx_pad], g.sz,
+                               gaussian=False)
+    v_rep = np.broadcast_to(np.asarray(vel2),
+                            (len(sx_pad),) + np.asarray(vel2).shape).copy()
+    fn = make_sharded_rtm_full(ctx, mesh, g.gz)
+    im_ext = np.asarray(fn(v_rep, srcf, wav, inj_ext))
+    imlocs = im_ext[:ns, ctx.nxb:ctx.nxe - ctx.nxb,
+                    ctx.nzb:ctx.nze - ctx.nzb]
+    return imlocs.sum(axis=0), imlocs
 
 
 def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,

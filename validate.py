@@ -216,7 +216,13 @@ def config6_gpu_oracle(quick=False):
     if jax.devices()[0].platform == "tpu" and not quick:
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             fd_forward_pallas, fd_back_pallas)
-        paths = gpu_goldens("3lay_gpu")
+        try:
+            paths = gpu_goldens("3lay_gpu")
+        except FileNotFoundError as e:
+            record("6b. split fd_forward/fd_back Pallas kernels vs oracle "
+                   "(TPU)", "SKIP", "reference artifact missing",
+                   str(e)[:40])
+            return
         p = pfdc.parse_input_dat(str(paths["input_parity"]))
         g = Geometry.from_params(p)
         ctx = FDContext.from_params(p, exact_taper=True)
