@@ -55,6 +55,13 @@ CONFIGS = {
         "input": "cuda_reference_RTM/models/new_mod/input.dat",
         "model_dir": "cuda_reference_RTM/models/new_mod",
     },
+    # synthetic configs broaden quirk coverage beyond the shipped models:
+    # order-4 stencil and asymmetric borders (nxb != nzb)
+    "order4_asym": {
+        "synthetic": dict(nz=100, nx=140, nt=600, dz=10, dx=10, dt=0.001,
+                          fpeak=25.0, ns=3, sz=0, fsx=10, ds=40, gz=0,
+                          nxb=20, nzb=32, fac=0.05, order=4, rnd=1),
+    },
 }
 
 
@@ -97,9 +104,11 @@ def _rewrite_input(base: pathlib.Path, out: pathlib.Path, **overrides):
 def gpu_goldens(config: str = "3lay_gpu", force: bool = False) -> dict:
     """Materialize (cached) oracle goldens for ``config``; return paths."""
     spec = CONFIGS[config]
-    base = REFERENCE_ROOT / spec["input"]
-    if not base.exists():
-        raise FileNotFoundError(base)
+    synthetic = spec.get("synthetic")
+    if not synthetic:
+        base = REFERENCE_ROOT / spec["input"]
+        if not base.exists():
+            raise FileNotFoundError(base)
     exe = build_oracle()
     root = CACHE / config
     golden = root / "golden"
@@ -118,20 +127,33 @@ def gpu_goldens(config: str = "3lay_gpu", force: bool = False) -> dict:
         return paths
     golden.mkdir(parents=True, exist_ok=True)
 
-    model_dir = REFERENCE_ROOT / spec["model_dir"]
-    kv = dict(
-        line.split("=", 1) for line in base.read_text().splitlines()
-        if "=" in line)
-    overrides = {"tmpdir": str(golden)}
-    vp = (model_dir / pathlib.Path(kv["vpfile"].strip()).name)
-    overrides["vpfile"] = str(vp)
-    if "vel_ext_file" in kv:
-        overrides["vel_ext_file"] = str(
-            model_dir / pathlib.Path(kv["vel_ext_file"].strip()).name)
-    # the reference ships no usable observed data for any GPU config
-    # (.MISSING_LARGE_BLOBS) — synthesize it with the oracle's mod mode
-    overrides["datfile"] = str(paths["dobs"])
-    _rewrite_input(base, paths["input_oracle"], **overrides)
+    if synthetic:
+        import numpy as np
+        cfg = dict(synthetic)
+        vp_path = root / "vp.bin"
+        v = np.full((cfg["nx"], cfg["nz"]), 1500.0, np.float32)
+        v[:, cfg["nz"] // 3:] = 2300.0
+        v[:, 2 * cfg["nz"] // 3:] = 3100.0
+        v.tofile(vp_path)
+        cfg.update(tmpdir=str(golden), vpfile=str(vp_path),
+                   datfile=str(paths["dobs"]))
+        paths["input_oracle"].write_text(
+            "\n".join(f"{k}={v}" for k, v in cfg.items()) + "\n")
+    else:
+        model_dir = REFERENCE_ROOT / spec["model_dir"]
+        kv = dict(
+            line.split("=", 1) for line in base.read_text().splitlines()
+            if "=" in line)
+        overrides = {"tmpdir": str(golden)}
+        vp = (model_dir / pathlib.Path(kv["vpfile"].strip()).name)
+        overrides["vpfile"] = str(vp)
+        if "vel_ext_file" in kv:
+            overrides["vel_ext_file"] = str(
+                model_dir / pathlib.Path(kv["vel_ext_file"].strip()).name)
+        # the reference ships no usable observed data for any GPU config
+        # (.MISSING_LARGE_BLOBS) — synthesize it with the oracle's mod mode
+        overrides["datfile"] = str(paths["dobs"])
+        _rewrite_input(base, paths["input_oracle"], **overrides)
 
     subprocess.run([str(exe), "mod", str(paths["input_oracle"]),
                     str(paths["dobs"])], check=True,
@@ -183,15 +205,18 @@ def cpu_reference_build() -> pathlib.Path:
     return bdir
 
 
-def rtm_main_goldens(ns: int = 3, force: bool = False) -> dict:
+def rtm_main_goldens(ns: int = 3, force: bool = False,
+                     tag: str = "", **overrides) -> dict:
     """Multi-shot CPU-pipeline goldens from the rebuilt reference binaries:
     run ``mod_main`` then ``rtm_main`` on the 3lay model with ``ns`` shots
     (the committed golden covers only ns=1, leaving the cross-shot it=0
-    flat-read of ``rtm_main.cpp:202`` untested). Returns paths to
+    flat-read of ``rtm_main.cpp:202`` untested). Extra ``overrides`` patch
+    input.dat keys (e.g. ``nxb``/``nzb`` to exercise the nzb-offset
+    injection quirk with asymmetric borders). Returns paths to
     ``input.dat``, ``dobs.bin``, ``dir.image``, ``dir.img``."""
     bdir = cpu_reference_build()
     ref3 = REFERENCE_ROOT / "dpct_gpu_rtm_domain_division/build/3lay_mod"
-    rundir = CACHE / f"3lay_ns{ns}"
+    rundir = CACHE / f"3lay_ns{ns}{tag}"
     paths = {
         "input": rundir / "input.dat",
         "dobs": rundir / "dobs.bin",
@@ -205,7 +230,7 @@ def rtm_main_goldens(ns: int = 3, force: bool = False) -> dict:
     _rewrite_input(ref3 / "input.dat", paths["input"],
                    ns=ns, tmpdir="./",
                    vpfile=str(ref3 / "3layer_151x151.bin"),
-                   datfile="dobs.bin")
+                   datfile="dobs.bin", **overrides)
     for prog in ("mod_main", "rtm_main"):
         subprocess.run([str(bdir / prog), "par=input.dat"], cwd=rundir,
                        check=True, stdout=subprocess.DEVNULL,

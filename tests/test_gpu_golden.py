@@ -88,3 +88,20 @@ def test_forward_probe_full_config(goldens, rtm_run):
     golden = np.loadtxt(goldens["file_teste"], dtype=np.float32).reshape(
         p.nxe, p.nze)
     assert rel_rms(np.asarray(cap), golden) < GATE
+
+
+def test_order4_asymmetric_borders_full_config():
+    """Synthetic order-4 config with nxb != nzb vs the C oracle: broadens
+    quirk coverage beyond the shipped (order-8, square-border) models."""
+    try:
+        paths = gpu_goldens("order4_asym")
+    except FileNotFoundError as e:
+        pytest.skip(f"reference artifact missing: {e}")
+    p = pfdc.parse_input_dat(str(paths["input_parity"]))
+    assert p.order == 4 and p.nxb != p.nzb
+    img, imlocs = pipeline.run_rtm_gpu(p, backend="lax")
+    golden = np.fromfile(paths["dir_image"], np.float32).reshape(p.nx, p.nz)
+    gims = np.fromfile(paths["imlocs"], np.float32).reshape(p.ns, p.nx, p.nz)
+    assert rel_rms(np.asarray(img), golden) < GATE
+    for i in range(p.ns):
+        assert rel_rms(np.asarray(imlocs[i]), gims[i]) < GATE, i
