@@ -26,6 +26,13 @@ REFERENCE_MODELS = {
     "new_mod": ("cuda_reference_RTM/models/new_mod", "vel-koslov.1", 315, 195),
     "3lay_cpu": ("dpct_gpu_rtm_domain_division/build/3lay_mod",
                  "3layer_151x151.bin", 151, 151),
+    "1lay_cpu": ("dpct_gpu_rtm_domain_division/build/1lay_mod",
+                 "vp_101x201.bin", 201, 101),
+    # subsampled Pluto model (build/spluto: 367x351, dx=25 != dz=10); the
+    # full-resolution ``build/pluto`` config is not loadable — its
+    # pluto-m.bin (1201x6960) is gitignored upstream and absent
+    "spluto": ("dpct_gpu_rtm_domain_division/build/spluto",
+               "pluto.bin", 367, 351),
 }
 
 

@@ -32,7 +32,7 @@ import pathlib
 import subprocess
 
 __all__ = ["build_oracle", "gpu_goldens", "cpu_reference_build",
-           "rtm_main_goldens", "CONFIGS"]
+           "rtm_main_goldens", "CONFIGS", "CPU_MODELS"]
 
 _REPO = pathlib.Path(__file__).resolve().parents[2]
 ORACLE_SRC = _REPO / "scripts" / "gpu_rtm_oracle.c"
@@ -205,18 +205,33 @@ def cpu_reference_build() -> pathlib.Path:
     return bdir
 
 
+# runnable configs under dpct_gpu_rtm_domain_division/build/ (model blob +
+# input.dat both shipped); ``pluto`` is excluded — its pluto-m.bin is listed
+# in the reference's .gitignore and absent from the checkout
+CPU_MODELS = {
+    "3lay": ("build/3lay_mod", "3layer_151x151.bin"),
+    "1lay": ("build/1lay_mod", "vp_101x201.bin"),
+    "spluto": ("build/spluto", "pluto.bin"),
+}
+
+
 def rtm_main_goldens(ns: int = 3, force: bool = False,
-                     tag: str = "", **overrides) -> dict:
+                     tag: str = "", model: str = "3lay",
+                     **overrides) -> dict:
     """Multi-shot CPU-pipeline goldens from the rebuilt reference binaries:
-    run ``mod_main`` then ``rtm_main`` on the 3lay model with ``ns`` shots
-    (the committed golden covers only ns=1, leaving the cross-shot it=0
-    flat-read of ``rtm_main.cpp:202`` untested). Extra ``overrides`` patch
-    input.dat keys (e.g. ``nxb``/``nzb`` to exercise the nzb-offset
-    injection quirk with asymmetric borders). Returns paths to
+    run ``mod_main`` then ``rtm_main`` on a CPU-build model (``CPU_MODELS``)
+    with ``ns`` shots (the committed golden covers only 3lay ns=1, leaving
+    the cross-shot it=0 flat-read of ``rtm_main.cpp:202`` and every other
+    model untested). Extra ``overrides`` patch input.dat keys (e.g.
+    ``nxb``/``nzb`` to exercise the nzb-offset injection quirk with
+    asymmetric borders, or ``nt`` to bound runtime). Returns paths to
     ``input.dat``, ``dobs.bin``, ``dir.image``, ``dir.img``."""
     bdir = cpu_reference_build()
-    ref3 = REFERENCE_ROOT / "dpct_gpu_rtm_domain_division/build/3lay_mod"
-    rundir = CACHE / f"3lay_ns{ns}{tag}"
+    sub, vpname = CPU_MODELS[model]
+    ref3 = REFERENCE_ROOT / "dpct_gpu_rtm_domain_division" / sub
+    if not (ref3 / vpname).exists():
+        raise FileNotFoundError(ref3 / vpname)
+    rundir = CACHE / f"{model}_ns{ns}{tag}"
     paths = {
         "input": rundir / "input.dat",
         "dobs": rundir / "dobs.bin",
@@ -229,7 +244,7 @@ def rtm_main_goldens(ns: int = 3, force: bool = False,
     rundir.mkdir(parents=True, exist_ok=True)
     _rewrite_input(ref3 / "input.dat", paths["input"],
                    ns=ns, tmpdir="./",
-                   vpfile=str(ref3 / "3layer_151x151.bin"),
+                   vpfile=str(ref3 / vpname),
                    datfile="dobs.bin", **overrides)
     for prog in ("mod_main", "rtm_main"):
         subprocess.run([str(bdir / prog), "par=input.dat"], cwd=rundir,

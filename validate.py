@@ -266,6 +266,33 @@ def config7_rtm_main_multishot():
            "cross-shot OOB flat-read emulated")
 
 
+def config8_spluto():
+    """spluto CPU-pipeline parity at full configuration — the subsampled
+    Pluto model (367x351, nt=2000), the only CPU-suite config with
+    anisotropic spacing (dx=25 != dz=10); goldens from the reference's own
+    rebuilt mod_main/rtm_main binaries."""
+    from parallel_finite_difference_computation_tpu.utils.oracle import (
+        rtm_main_goldens)
+    try:
+        g = rtm_main_goldens(model="spluto", ns=1)
+    except FileNotFoundError as e:
+        record("8. spluto full config (mod+rtm)", "SKIP",
+               "reference missing", str(e)[:40])
+        return
+    p = pfdc.parse_input_dat(str(g["input"]))
+    t0 = time.time()
+    data = pipeline.run_modeling(p, backend="lax")
+    golden_d = np.fromfile(g["dobs"], np.float32).reshape(p.ns, p.nx, p.nt)
+    rd = rel_rms(np.asarray(data), golden_d)
+    img, _ = pipeline.run_rtm_cpu(p)
+    gi = np.fromfile(g["dir_image"], np.float32).reshape(p.nx, p.nz)
+    ri = rel_rms(np.asarray(img), gi)
+    dt = time.time() - t0
+    record("8. spluto full config (367x351, nt=2000, dx!=dz)",
+           "PASS" if max(rd, ri) < GATE else "FAIL",
+           f"dobs {rd:.2e}, image {ri:.2e}", f"{dt:.2f}s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
