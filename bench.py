@@ -311,6 +311,45 @@ def bench_stencil_large(n: int = 8192, repeats: int = 16,
     return best
 
 
+def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
+    """Sustained stencil throughput on the fixed-point padded layout
+    (:func:`...pallas_stencil.laplacian_pallas_padded`): applies chain with
+    no per-apply pad/slice — profiling showed the per-call jnp.pad inside
+    ``laplacian_pallas`` costs ~45% of each apply at 8192^2, so this is the
+    honest repeated-apply rate of the kernel itself (the one-shot embed and
+    extract are amortized over ``repeats``). Returns (gcell, s_per_apply,
+    max_abs_err_vs_lax)."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
+        laplacian_pallas_padded, to_padded, from_padded)
+    from parallel_finite_difference_computation_tpu.ops.stencil import (
+        laplacian)
+    cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+    base = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+
+    @jax.jit
+    def chain(x):
+        p = to_padded(x, 8, tile_rows)
+        for _ in range(repeats):
+            p = laplacian_pallas_padded(p, cx, cz, 8, n, n, tile_rows)
+        return from_padded(p, n, n, 8, tile_rows)
+
+    @jax.jit
+    def single(x):
+        p = to_padded(x, 8, tile_rows)
+        return from_padded(laplacian_pallas_padded(p, cx, cz, 8, n, n,
+                                                   tile_rows),
+                           n, n, 8, tile_rows)
+
+    xs = jnp.asarray(base)
+    got = np.asarray(single(xs))
+    ref = np.asarray(jax.jit(lambda x: laplacian(
+        x, jnp.asarray(cx), jnp.asarray(cz), 8))(xs))
+    err = float(np.abs(got - ref).max())
+    make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
+    t = _prof_timeit(make, chain, warmup=2, iters=5) / repeats
+    return n * n / t / 1e9, t, err
+
+
 # Perf floors: regression gates over the round-1/round-2 measured numbers
 # (batched pallas 3lay measured ~6.8 ms; tiled stencil measured 15.9-24.8
 # GCell/s across sessions — the floor catches real regressions, not
@@ -405,6 +444,22 @@ def _main_body():
                               f"{FLOOR_STENCIL_GCELL}")
         except Exception as e:
             details["stencil_8192_pallas_error"] = str(e)[:200]
+        try:
+            gp, tp, errp = bench_stencil_padded()
+            details["stencil_8192_padded_gcell_per_s"] = gp
+            details["stencil_8192_padded_s_per_apply"] = tp
+            details["stencil_8192_padded_max_abs_err_vs_lax"] = errp
+            ceil = vpu_ceiling_cell_rate(stencil_ops_per_cell(8))
+            details["stencil_8192_padded_vpu_ceiling_fraction"] = (
+                gp * 1e9 / ceil)
+        except Exception as e:
+            details["stencil_8192_padded_error"] = str(e)[:200]
+        try:
+            from parallel_finite_difference_computation_tpu.utils.profiling \
+                import measure_stream_gbps
+            details["measured_stream_gbps"] = measure_stream_gbps()
+        except Exception as e:
+            details["measured_stream_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:

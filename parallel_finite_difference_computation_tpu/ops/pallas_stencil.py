@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["laplacian_pallas"]
+__all__ = ["laplacian_pallas", "laplacian_pallas_padded", "padded_layout",
+           "to_padded", "from_padded"]
 
 
 def _lap_tile(a, cz, cx, order):
@@ -133,3 +134,155 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
     # global z borders are zeroed outside the kernel (lane-axis iota is
     # unavailable in-kernel); two thin strip writes in XLA
     return out.at[:, :h].set(0.0).at[:, nz - h:].set(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point padded-layout kernel: chained applies without per-apply pads
+# ---------------------------------------------------------------------------
+#
+# Profiling on the dev chip showed ~45% of each `laplacian_pallas` "apply"
+# is the jnp.pad above — a full 2-pass XLA copy per call. For repeated
+# application (the sustained-throughput protocol the benchmark measures,
+# and the reference stencil program's natural semantics: it reads an
+# already-extended nxe x nze grid, fd-source-code.cu:290-312), the fix is a
+# layout that is a *fixed point* of the op: input and output share one
+# (R, W) buffer layout, so applies chain with zero glue ops.
+#
+# Layout (h = order//2, hr = h rounded up to 8):
+#   cols: [0, h) zero | interior nz | zero-pad to W = roundup(h+nz+h, 128)
+#   rows: tr slack tile | [h, h+nx) interior in a roundup(h+nx+hr, tr)
+#         block | tr slack tile
+# The slack row-tiles (always zero, outputs masked) make every halo read a
+# full-slot, in-bounds, 8-aligned DMA — no sliced-destination (3D-ref)
+# DMAs, which crash this environment's Mosaic compiler.
+
+
+def padded_layout(nx: int, nz: int, order: int, tile_rows: int = 64):
+    """Return (R, W, row0, col0) of the fixed-point layout for an (nx, nz)
+    field: the interior lives at [row0, row0+nx) x [col0, col0+nz)."""
+    h = order // 2
+    hr = -(-h // 8) * 8
+    tr = tile_rows
+    content = -(-(h + nx + hr) // tr) * tr
+    R = content + 2 * tr
+    W = -(-(h + nz + h) // 128) * 128
+    return R, W, tr + h, h
+
+
+def to_padded(p, order: int, tile_rows: int = 64):
+    """Embed an (nx, nz) field into its fixed-point padded layout."""
+    nx, nz = p.shape
+    R, W, row0, col0 = padded_layout(nx, nz, order, tile_rows)
+    return jnp.zeros((R, W), p.dtype).at[row0:row0 + nx,
+                                         col0:col0 + nz].set(p)
+
+
+def from_padded(out, nx: int, nz: int, order: int, tile_rows: int = 64):
+    """Extract the (nx, nz) field from the padded layout."""
+    R, W, row0, col0 = padded_layout(nx, nz, order, tile_rows)
+    return jax.lax.slice(out, (row0, col0), (row0 + nx, col0 + nz))
+
+
+def _kernel_padded(order, hr, nx, nz, tx, n_tx, R, W, cz, cx,
+                   inp_hbm, mask_ref, out_ref, scratch, sems):
+    h = order // 2
+    i = pl.program_id(0)
+    rows_slot = tx + 2 * hr
+
+    def dma(ti, slot):
+        # full-slot dst, 8-aligned src row offset, full width in every branch
+        @pl.when(ti == 0)
+        def _():
+            pltpu.make_async_copy(
+                inp_hbm.at[pl.ds(0, rows_slot), :],
+                scratch.at[slot], sems.at[slot]).start()
+
+        @pl.when((ti > 0) & (ti < n_tx - 1))
+        def _():
+            row = pl.multiple_of(ti * tx - hr, 8)
+            pltpu.make_async_copy(
+                inp_hbm.at[pl.ds(row, rows_slot), :],
+                scratch.at[slot], sems.at[slot]).start()
+
+        @pl.when(ti == n_tx - 1)
+        def _():
+            pltpu.make_async_copy(
+                inp_hbm.at[pl.ds(R - rows_slot, rows_slot), :],
+                scratch.at[slot], sems.at[slot]).start()
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, 2))
+
+    cur = jax.lax.rem(i, 2)
+    pltpu.make_async_copy(
+        inp_hbm.at[pl.ds(0, rows_slot), :],
+        scratch.at[cur], sems.at[cur]).wait()
+
+    # out row r maps to scratch row r + hr; taps at r + hr + (io - h)
+    a = scratch[cur]
+    wz = W - order
+    acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
+    for io in range(1, order + 1):
+        acz = acz + cz[io] * jax.lax.slice(a, (hr, io), (hr + tx, io + wz))
+    r0 = hr - h
+    acx = cx[0] * jax.lax.slice(a, (r0, h), (r0 + tx, h + wz))
+    for io in range(1, order + 1):
+        acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
+                                           (r0 + io + tx, h + wz))
+    full = jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+    # zero the h-frame and all padding: rows via sublane iota, cols via a
+    # VMEM mask row (lane-axis iota is unavailable in-kernel)
+    rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+    keep = (rows >= tx + 2 * h) & (rows < tx + h + nx - h)
+    out_ref[:, :] = jnp.where(keep, full * mask_ref[0:1, :], 0.0)
+
+
+def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
+                            nx: int, nz: int, tile_rows: int = 64,
+                            interpret: bool = False):
+    """Order-``order`` interior Laplacian on the fixed-point padded layout
+    (see :func:`padded_layout`): maps an (R, W) padded field to an (R, W)
+    padded field, so repeated applies chain with no per-apply pad/slice.
+    Semantically ``to_padded . laplacian . from_padded`` (borders zeroed),
+    bit-identical to :func:`...ops.stencil.laplacian` on the interior.
+    Requires order <= 16 (hr = 8 row-halo granularity covers h <= 8)."""
+    h = order // 2
+    hr = -(-h // 8) * 8
+    tx = tile_rows
+    R, W, row0, col0 = padded_layout(nx, nz, order, tile_rows)
+    assert p_pad.shape == (R, W), (p_pad.shape, (R, W))
+    n_tx = R // tx
+
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    import numpy as _np
+    mask = _np.zeros((8, W), _np.float32)
+    mask[:, 2 * h:nz] = 1.0
+
+    kern = functools.partial(_kernel_padded, order, hr, nx, nz, tx, n_tx,
+                             R, W, cz, cx)
+    from .pallas_fd import vmem_params
+    # measured on the v5e dev chip: actual scoped-vmem usage at tx=64 is
+    # ~33.5 MiB (> the 32 MiB default floor) — budget 2 scratch slots +
+    # out pipeline + ~10 stack tiles so vmem_params rounds up to 48 MiB
+    cp = vmem_params(((2 + 10) * (tx + 2 * hr) * W + 2 * tx * W) * 4)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tx, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 2 * hr, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=cp,
+        interpret=interpret,
+    )(p_pad, jnp.asarray(mask))

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["sync", "timeit", "roofline_fraction", "device_hbm_gbps",
-           "vpu_ceiling_cell_rate", "stencil_ops_per_cell", "trace"]
+           "vpu_ceiling_cell_rate", "stencil_ops_per_cell",
+           "measure_stream_gbps", "trace"]
 
 # Peak HBM bandwidth by device kind (GB/s); conservative public numbers.
 _HBM_GBPS = {
@@ -105,6 +106,28 @@ def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
     8x128 vector lanes, one ALU op per lane per cycle at the device clock.
     ~27.5 GCell/s for the order-8 Laplacian on v5e."""
     return _VPU_REG_LANES * _device_clock_ghz(device) * 1e9 / ops_per_cell
+
+
+def measure_stream_gbps(n: int = 8192, iters: int = 5) -> float:
+    """Measured achievable HBM streaming bandwidth (GB/s, read+write) via a
+    chained elementwise map over an (n, n) f32 array — the empirical
+    counterpart of :func:`device_hbm_gbps`. On the tunneled dev chip the
+    measured rate (~285 GB/s) is far below the device-kind spec sheet, so
+    perf fractions quoted against this number reflect what is actually
+    attainable by XLA's own pipeline on the same hardware path."""
+    import numpy as np
+    x = jnp.asarray(np.linspace(0, 1, n * n, dtype=np.float32).reshape(n, n))
+    k = 16
+
+    @jax.jit
+    def chain(x):
+        for i in range(k):
+            x = x * (1.0 + 1e-9 * i) + 1.0
+        return x
+
+    t = timeit(lambda i: (x + np.float32(i) * 1e-9,), chain,
+               warmup=2, iters=iters) / k
+    return 2 * n * n * 4 / t / 1e9
 
 
 @contextlib.contextmanager
