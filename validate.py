@@ -307,6 +307,7 @@ def main():
     config5_domain_division(quick=args.quick)
     config6_gpu_oracle(quick=args.quick)
     config7_rtm_main_multishot()
+    config8_spluto()
 
     with open("VALIDATION.md", "w") as f:
         f.write("# Validation report — BASELINE configs + oracle gates\n\n")
