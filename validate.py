@@ -293,6 +293,43 @@ def config8_spluto():
            f"dobs {rd:.2e}, image {ri:.2e}", f"{dt:.2f}s")
 
 
+def config9_pluto_scale():
+    """Pluto-scale capability gate: the reference ships a full-resolution
+    Pluto config (build/pluto/input.orig: 1201x6960, nt=12860, ns=30) whose
+    velocity blob is gitignored upstream — the grid size is the capability.
+    Run forward modeling and the memory-light two-snapshot RTM at the exact
+    spatial dims with a synthetic layered model and bounded nt. The
+    whole-shot Pallas kernel cannot fit this grid in VMEM, so backend=auto
+    must degrade cleanly through the derived-VMEM-model fallback chain."""
+    from parallel_finite_difference_computation_tpu.config import Params
+    from parallel_finite_difference_computation_tpu.models.zoo import (
+        layered_model)
+    p = Params(nz=1201, nx=6960, nt=400, dz=7.62, dx=7.62, dt=0.0007,
+               fpeak=6.0, ns=1, sz=0, fsx=2700, ds=20, gz=0,
+               nxb=40, nzb=40, fac=0.75, order=8, rnd=1)
+    vp = layered_model(p.nx, p.nz,
+                       velocities=(1500.0, 2200.0, 3000.0, 4000.0))
+    t0 = time.time()
+    data = np.asarray(pipeline.run_modeling(p, vp=vp, backend="auto"))
+    t_mod = time.time() - t0
+    g = Geometry.from_params(p)
+    vel2 = jnp.asarray(pipeline.prepare_velocity_cpu(p, vp))
+    ctx = FDContext.from_params(p, exact_taper=True)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+    t0 = time.time()
+    img = np.asarray(rtm_shot_snapshot(ctx, vel2, wav,
+                                       jnp.asarray(data[0]),
+                                       g.sx[0], g.sz, g.gz))
+    t_rtm = time.time() - t0
+    ok = (np.isfinite(data).all() and np.abs(data).max() > 0
+          and np.isfinite(img).all() and np.abs(img).max() > 0)
+    cells = p.nxe * p.nze * p.nt
+    record("9. pluto-scale synthetic (6960x1201, nt=400)",
+           "PASS" if ok else "FAIL",
+           f"mod {cells / t_mod / 1e9:.1f} GCell/s, finite+nonzero",
+           f"mod {t_mod:.1f}s, 2-snap rtm {t_rtm:.1f}s incl compile")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -308,6 +345,7 @@ def main():
     config6_gpu_oracle(quick=args.quick)
     config7_rtm_main_multishot()
     config8_spluto()
+    config9_pluto_scale()
 
     with open("VALIDATION.md", "w") as f:
         f.write("# Validation report — BASELINE configs + oracle gates\n\n")
