@@ -350,6 +350,32 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
     return n * n / t / 1e9, t, err
 
 
+def bench_pluto_modeling(nt: int = 400):
+    """Forward modeling at the reference's full-resolution Pluto dims
+    (1201x6960, ``build/pluto/input.orig``; its velocity blob is gitignored
+    upstream, so the model is synthetic): the fused HBM-streaming step
+    (:func:`...solver.forward_modeling_tiled`) — the beyond-VMEM tier of
+    the modeling backend chain. Returns (ms_per_step, gcell_per_s)."""
+    from parallel_finite_difference_computation_tpu.solver import (
+        FDContext, forward_modeling_tiled)
+    from parallel_finite_difference_computation_tpu.models.zoo import (
+        layered_model)
+    ctx = FDContext.create(6960, 1201, nt, dx=7.62, dz=7.62, dt=0.0007,
+                           order=8, nxb=40, nzb=40, fac=0.75)
+    vp = layered_model(6960, 1201,
+                       velocities=(1500.0, 2200.0, 3000.0, 4000.0))
+    v2 = np.zeros((ctx.nxe, ctx.nze), np.float32)
+    v2[40:-40, 40:-40] = vp * vp
+    v2 = np.asarray(numerics.extendvel_clamp(v2, 6960, 1201, 40, 40))
+    wav = np.asarray(numerics.ricker_wavelet(nt, 0.0007, 6.0))
+
+    fn = lambda w, v: forward_modeling_tiled(ctx, v, w, 2740, 40, 40)[2]
+    make = lambda i: (jnp.asarray(wav * (1 + 1e-6 * i)),
+                      jnp.asarray(v2 * (1 + 1e-7 * abs(i))))
+    t = _prof_timeit(make, fn, warmup=2, iters=3) / nt
+    return t * 1e3, ctx.nxe * ctx.nze / t / 1e9
+
+
 # Perf floors: regression gates over the round-1/round-2 measured numbers
 # (batched pallas 3lay measured ~6.8 ms; tiled stencil measured 15.9-24.8
 # GCell/s across sessions — the floor catches real regressions, not
@@ -460,6 +486,12 @@ def _main_body():
             details["measured_stream_gbps"] = measure_stream_gbps()
         except Exception as e:
             details["measured_stream_error"] = str(e)[:200]
+        try:
+            ms, gc = bench_pluto_modeling()
+            details["modeling_pluto_scale_ms_per_step"] = ms
+            details["modeling_pluto_scale_gcell_per_s"] = gc
+        except Exception as e:
+            details["modeling_pluto_scale_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:

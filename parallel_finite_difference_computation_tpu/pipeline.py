@@ -59,7 +59,7 @@ def _run_with_fallback(run_pallas, run_lax, args, backend: str,
         first_err = f"{type(e).__name__}: {str(e)[:200]}"
         if run_pallas_split is not None:
             warnings.warn("whole-shot pallas kernel failed "
-                          f"({first_err}); trying split kernels")
+                          f"({first_err}); trying the next kernel tier")
             try:
                 return np.asarray(run_pallas_split(*args))
             except Exception as e2:
@@ -160,13 +160,20 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
         return _run_modeling_domain(p, ctx, g, wav, vel2, mesh, backend,
                                     out_datfile)
 
-    run_pallas = None
+    run_pallas = run_tiled = None
     if _use_pallas(backend):
         from .ops.pallas_fd import forward_modeling_pallas
         run_pallas = jax.jit(lambda sxs: jax.lax.map(
             lambda sx: forward_modeling_pallas(
                 ctx, vel2, wav, sx, g.sz, g.gz,
                 source="gaussian", taper="all")[2], sxs))
+        # middle tier for grids beyond VMEM (e.g. pluto-resolution): the
+        # fused HBM-streaming step (~3.7x the lax path at 6960x1201)
+        from .solver import forward_modeling_tiled
+        run_tiled = jax.jit(lambda sxs: jax.lax.map(
+            lambda sx: forward_modeling_tiled(
+                ctx, vel2, wav, sx, g.sz, g.gz,
+                source="gaussian")[2], sxs))
     run_lax = jax.vmap(
         lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
                                     source="gaussian", taper="all",
@@ -181,8 +188,9 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
         sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
         sx_pad[ns:] = sx_pad[0]
         (sxs,) = distribute_shots(mesh, sx_pad)
-        run_pallas = None
-    seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend)[:ns]
+        run_pallas = run_tiled = None
+    seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend,
+                              run_pallas_split=run_tiled)[:ns]
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
     if out_datfile:
         io.write_f32(out_datfile, data)

@@ -175,6 +175,61 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
     return p, pp, rec
 
 
+@partial(jax.jit, static_argnames=("ctx", "source", "record", "tile_rows",
+                                   "interpret"))
+def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
+                           source: str = "gaussian",
+                           record: str = "trace", tile_rows: int = 64,
+                           interpret: bool = False):
+    """:func:`forward_modeling` (taper="all") for grids beyond VMEM: the
+    per-step Laplacian+leapfrog+taper is ONE fused HBM-streaming Pallas
+    pass (:func:`..ops.pallas_stream.fd_step_padded`) on the fixed-point
+    padded layout, carried directly by the scan — no per-step pad/slice.
+    O(1)-cell source injection and trace recording stay in XLA. Matches
+    the lax path to float rounding (the injected cells see
+    ``u*m + a*patch*m`` instead of ``(u + a*patch)*m``).
+
+    Returns ``(p, pp, recorded)`` shaped exactly like
+    :func:`forward_modeling`.
+    """
+    from .ops.pallas_stream import (fd_step_padded, padded_layout,
+                                    to_padded, from_padded)
+    order = ctx.order
+    R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tile_rows)
+    v2_pad = to_padded(v2, order, tile_rows)
+    mask_pad = to_padded(jnp.asarray(ctx.mask_all), order, tile_rows)
+    if source == "gaussian":
+        patch = jnp.asarray(ctx.source_patch)
+    else:
+        patch = jnp.ones((1, 1), jnp.float32)
+    r = patch.shape[0] // 2
+
+    def step(carry, amp):
+        p, pp = carry
+        pn, ppn = fd_step_padded(p, pp, v2_pad, mask_pad,
+                                 ctx.coefs_x, ctx.coefs_z, order,
+                                 ctx.nxe, ctx.nze, ctx.dt2, tile_rows,
+                                 interpret=interpret)
+        # masked injection into the *new* field (reference order is
+        # update -> inject -> taper; the mask factors in per cell)
+        px, pz = row0 + sx - r, col0 + sz - r
+        msl = jax.lax.dynamic_slice(mask_pad, (px, pz), patch.shape)
+        sub = jax.lax.dynamic_slice(ppn, (px, pz), patch.shape)
+        ppn = jax.lax.dynamic_update_slice(ppn, sub + amp * patch * msl,
+                                           (px, pz))
+        if record == "trace":
+            out = jax.lax.dynamic_slice(
+                pn, (row0 + ctx.nxb, col0 + gz), (ctx.nx, 1))[:, 0]
+        else:
+            out = None
+        return (ppn, pn), out
+
+    zero = jnp.zeros((R, W), jnp.float32)
+    (p, pp), rec = jax.lax.scan(step, (zero, zero), wavelet)
+    return (from_padded(p, ctx.nxe, ctx.nze, order, tile_rows),
+            from_padded(pp, ctx.nxe, ctx.nze, order, tile_rows), rec)
+
+
 def _injection_rows(ctx, dobs, next_shot_first):
     """Receiver-injection rows with ``rtm_main``'s flat-read quirk.
 

@@ -1,0 +1,73 @@
+"""HBM-streaming fused FD step (`ops.pallas_stream.fd_step_padded`) and
+its scan wrapper `solver.forward_modeling_tiled`: must match the lax-path
+`forward_modeling` to float rounding on small grids (interpret mode on
+CPU; the compiled path is measured at pluto scale in validate config 9)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from parallel_finite_difference_computation_tpu import numerics
+from parallel_finite_difference_computation_tpu.solver import (
+    FDContext, forward_modeling, forward_modeling_tiled)
+from parallel_finite_difference_computation_tpu.ops.pallas_stream import (
+    fd_step_padded, padded_layout, to_padded, from_padded)
+
+
+def _ctx(nx=30, nz=40, nt=12, order=8, nxb=6, nzb=5):
+    return FDContext.create(nx, nz, nt, dx=10.0, dz=10.0, dt=0.001,
+                            order=order, nxb=nxb, nzb=nzb, fac=0.7)
+
+
+def test_single_step_matches_lax_update():
+    ctx = _ctx()
+    rng = np.random.default_rng(0)
+    shape = (ctx.nxe, ctx.nze)
+    p = rng.standard_normal(shape).astype(np.float32)
+    pp = rng.standard_normal(shape).astype(np.float32)
+    v2 = np.full(shape, 4e6, np.float32)
+    mask = np.asarray(ctx.mask_all)
+    tr = 16
+    args = (ctx.coefs_x, ctx.coefs_z, ctx.order, ctx.nxe, ctx.nze, ctx.dt2)
+    pn, ppn = fd_step_padded(
+        to_padded(jnp.asarray(p), ctx.order, tr),
+        to_padded(jnp.asarray(pp), ctx.order, tr),
+        to_padded(jnp.asarray(v2), ctx.order, tr),
+        to_padded(jnp.asarray(mask), ctx.order, tr),
+        *args, tile_rows=tr, interpret=True)
+    from parallel_finite_difference_computation_tpu.solver import _fd_update
+    want_pp = np.asarray(_fd_update(ctx, jnp.asarray(p), jnp.asarray(pp),
+                                    jnp.asarray(v2))) * mask
+    want_p = p * mask
+    got_pp = np.asarray(from_padded(ppn, ctx.nxe, ctx.nze, ctx.order, tr))
+    got_p = np.asarray(from_padded(pn, ctx.nxe, ctx.nze, ctx.order, tr))
+    tol = 4 * np.finfo(np.float32).eps * max(1.0, np.abs(want_pp).max())
+    np.testing.assert_allclose(got_pp, want_pp, atol=tol, rtol=0)
+    np.testing.assert_array_equal(got_p, want_p)
+    # pads must stay zero so the scan can carry the layout directly
+    R, W, r0, c0 = padded_layout(ctx.nxe, ctx.nze, ctx.order, tr)
+    leak = np.array(ppn)
+    leak[r0:r0 + ctx.nxe, c0:c0 + ctx.nze] = 0
+    assert np.abs(leak).max() == 0.0
+
+
+@pytest.mark.parametrize("source", ["gaussian", "point"])
+def test_modeling_matches_lax_path(source):
+    ctx = _ctx()
+    rng = np.random.default_rng(1)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    sx, sz, gz = ctx.nxb + 10, ctx.nzb + 3, ctx.nzb + 1
+    p1, pp1, rec1 = forward_modeling(ctx, jnp.asarray(v2), wav, sx, sz, gz,
+                                     source=source, taper="all",
+                                     record="trace")
+    p2, pp2, rec2 = forward_modeling_tiled(ctx, jnp.asarray(v2), wav,
+                                           sx, sz, gz, source=source,
+                                           tile_rows=16, interpret=True)
+    scale = max(1.0, float(np.abs(np.asarray(rec1)).max()))
+    assert np.abs(np.asarray(rec2) - np.asarray(rec1)).max() < 1e-5 * scale
+    fscale = max(1.0, float(np.abs(np.asarray(p1)).max()))
+    assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-5 * fscale
+    assert np.abs(np.asarray(pp2) - np.asarray(pp1)).max() < 1e-5 * fscale

@@ -312,6 +312,10 @@ def config9_pluto_scale():
     t0 = time.time()
     data = np.asarray(pipeline.run_modeling(p, vp=vp, backend="auto"))
     t_mod = time.time() - t0
+    # auto resolves to the fused HBM-streaming tier at this size (the
+    # whole-shot kernel cannot fit VMEM); gate it against the lax path
+    data_lax = np.asarray(pipeline.run_modeling(p, vp=vp, backend="lax"))
+    r_tier = rel_rms(data, data_lax)
     g = Geometry.from_params(p)
     vel2 = jnp.asarray(pipeline.prepare_velocity_cpu(p, vp))
     ctx = FDContext.from_params(p, exact_taper=True)
@@ -322,11 +326,11 @@ def config9_pluto_scale():
                                        g.sx[0], g.sz, g.gz))
     t_rtm = time.time() - t0
     ok = (np.isfinite(data).all() and np.abs(data).max() > 0
-          and np.isfinite(img).all() and np.abs(img).max() > 0)
-    cells = p.nxe * p.nze * p.nt
+          and np.isfinite(img).all() and np.abs(img).max() > 0
+          and r_tier < GATE)
     record("9. pluto-scale synthetic (6960x1201, nt=400)",
            "PASS" if ok else "FAIL",
-           f"mod {cells / t_mod / 1e9:.1f} GCell/s, finite+nonzero",
+           f"auto-vs-lax rel RMS {r_tier:.2e}, finite+nonzero",
            f"mod {t_mod:.1f}s, 2-snap rtm {t_rtm:.1f}s incl compile")
 
 
