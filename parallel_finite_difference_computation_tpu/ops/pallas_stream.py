@@ -34,52 +34,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_stencil import padded_layout, to_padded, from_padded
 
-__all__ = ["fd_step_padded", "padded_layout", "to_padded", "from_padded"]
+__all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
+           "padded_layout", "to_padded", "from_padded"]
 
 
-def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
-            p_hbm, pp_ref, v2_ref, m_ref, colmask_ref,
-            pn_ref, ppn_ref, scratch, sems):
-    h = order // 2
-    i = pl.program_id(0)
+def _halo_dma_start(hbm, scratch, sems, ti, slot, tx, hr, n_tx, R):
+    """Start the halo read of row-tile ``ti`` into scratch ``slot``: always
+    a full-slot dst, 8-aligned src row offset, full width (sliced-dst DMAs
+    crash this Mosaic compiler). Tiles 0 / n_tx-1 are layout slack (outputs
+    masked) and read a frame-shifted but in-bounds slot."""
     rows_slot = tx + 2 * hr
 
-    def dma(ti, slot):
-        # full-slot dst, 8-aligned src row offset, full width in all
-        # branches (sliced-destination DMAs crash this Mosaic compiler)
-        @pl.when(ti == 0)
-        def _():
-            pltpu.make_async_copy(
-                p_hbm.at[pl.ds(0, rows_slot), :],
-                scratch.at[slot], sems.at[slot]).start()
-
-        @pl.when((ti > 0) & (ti < n_tx - 1))
-        def _():
-            row = pl.multiple_of(ti * tx - hr, 8)
-            pltpu.make_async_copy(
-                p_hbm.at[pl.ds(row, rows_slot), :],
-                scratch.at[slot], sems.at[slot]).start()
-
-        @pl.when(ti == n_tx - 1)
-        def _():
-            pltpu.make_async_copy(
-                p_hbm.at[pl.ds(R - rows_slot, rows_slot), :],
-                scratch.at[slot], sems.at[slot]).start()
-
-    @pl.when(i == 0)
+    @pl.when(ti == 0)
     def _():
-        dma(0, 0)
+        pltpu.make_async_copy(hbm.at[pl.ds(0, rows_slot), :],
+                              scratch.at[slot], sems.at[slot]).start()
 
-    @pl.when(i + 1 < n_tx)
+    @pl.when((ti > 0) & (ti < n_tx - 1))
     def _():
-        dma(i + 1, jax.lax.rem(i + 1, 2))
+        row = pl.multiple_of(ti * tx - hr, 8)
+        pltpu.make_async_copy(hbm.at[pl.ds(row, rows_slot), :],
+                              scratch.at[slot], sems.at[slot]).start()
 
-    cur = jax.lax.rem(i, 2)
-    pltpu.make_async_copy(
-        p_hbm.at[pl.ds(0, rows_slot), :],
-        scratch.at[cur], sems.at[cur]).wait()
+    @pl.when(ti == n_tx - 1)
+    def _():
+        pltpu.make_async_copy(hbm.at[pl.ds(R - rows_slot, rows_slot), :],
+                              scratch.at[slot], sems.at[slot]).start()
 
-    a = scratch[cur]
+
+def _halo_dma_wait(hbm, scratch, sems, slot, tx, hr):
+    pltpu.make_async_copy(hbm.at[pl.ds(0, tx + 2 * hr), :],
+                          scratch.at[slot], sems.at[slot]).wait()
+
+
+def _lap_taps(a, order, hr, tx, W, cz, cx):
+    """Laplacian taps on a (tx+2hr, W)-row halo frame: out row r maps to
+    frame row r+hr; returns the full-width (tx, W) laplacian, un-masked."""
+    h = order // 2
     wz = W - order
     acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
     for io in range(1, order + 1):
@@ -89,7 +80,29 @@ def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
     for io in range(1, order + 1):
         acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
                                            (r0 + io + tx, h + wz))
-    lap = jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+    return jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+
+
+def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
+            p_hbm, pp_ref, v2_ref, m_ref, colmask_ref,
+            pn_ref, ppn_ref, scratch, sems):
+    h = order // 2
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _halo_dma_start(p_hbm, scratch, sems, 0, 0, tx, hr, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _halo_dma_start(p_hbm, scratch, sems, i + 1, jax.lax.rem(i + 1, 2),
+                        tx, hr, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _halo_dma_wait(p_hbm, scratch, sems, cur, tx, hr)
+
+    a = scratch[cur]
+    lap = _lap_taps(a, order, hr, tx, W, cz, cx)
     # zero lap outside the extended-grid interior [h, nxe-h) x [h, nze-h)
     # (laplacian borders are zero by construction in the reference; the
     # leapfrog still updates the full extended grid)
@@ -150,3 +163,205 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
         compiler_params=cp,
         interpret=interpret,
     )(p_pad, pp_pad, v2_pad, mask_pad, jnp.asarray(colmask))
+
+
+# ---------------------------------------------------------------------------
+# GPU-suite-flavor streaming steps (fd_forward / fd_back, fd-code.cu:247-341)
+# ---------------------------------------------------------------------------
+
+def _kernel_update(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
+                   p_hbm, pp_ref, v2_ref, colmask_ref,
+                   ppn_ref, scratch, sems):
+    """Update-only: out = 2p - pp + v2*dt2*lap(p). The untapered source
+    reconstruction of fd_back (fd-code.cu:317-318); p passes through the
+    carry unchanged so it is not re-emitted."""
+    h = order // 2
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _halo_dma_start(p_hbm, scratch, sems, 0, 0, tx, hr, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _halo_dma_start(p_hbm, scratch, sems, i + 1, jax.lax.rem(i + 1, 2),
+                        tx, hr, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _halo_dma_wait(p_hbm, scratch, sems, cur, tx, hr)
+
+    a = scratch[cur]
+    lap = _lap_taps(a, order, hr, tx, W, cz, cx)
+    rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, lap.shape, 0)
+    keep = (rows >= tx + 2 * h) & (rows < tx + h + nxe - h)
+    lap = jnp.where(keep, lap * colmask_ref[0:1, :], 0.0)
+    p_c = jax.lax.slice(a, (hr, 0), (hr + tx, W))
+    ppn_ref[:, :] = 2.0 * p_c - pp_ref[:, :] + v2_ref[:, :] * dt2 * lap
+
+
+def _kernel_gpu(order, hr, nxe, nze, nxb, nzb, nx, tx, n_tx, R, W, dt2,
+                with_img, cz, cx, *refs):
+    """Taper-first flavor: t = y*mask (both halo-streamed), out_p = t,
+    out_pp = 2t - x*mask + v2*dt2*lap(t) [+ sism column]; optionally
+    out_im = im + imsrc * out_pp on the un-extended interior (K6)."""
+    if with_img:
+        (y_hbm, m_hbm, x_ref, v2_ref, sism_ref, im_ref, imsrc_ref,
+         masks_ref, pn_ref, ppn_ref, imn_ref,
+         scr_y, scr_m, sem_y, sem_m) = refs
+    else:
+        (y_hbm, m_hbm, x_ref, v2_ref, masks_ref,
+         pn_ref, ppn_ref, scr_y, scr_m, sem_y, sem_m) = refs
+        sism_ref = im_ref = imsrc_ref = imn_ref = None
+    h = order // 2
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _halo_dma_start(y_hbm, scr_y, sem_y, 0, 0, tx, hr, n_tx, R)
+        _halo_dma_start(m_hbm, scr_m, sem_m, 0, 0, tx, hr, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        _halo_dma_start(y_hbm, scr_y, sem_y, i + 1, nxt, tx, hr, n_tx, R)
+        _halo_dma_start(m_hbm, scr_m, sem_m, i + 1, nxt, tx, hr, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _halo_dma_wait(y_hbm, scr_y, sem_y, cur, tx, hr)
+    _halo_dma_wait(m_hbm, scr_m, sem_m, cur, tx, hr)
+
+    t = scr_y[cur] * scr_m[cur]            # tapered field, halo frame
+    lap = _lap_taps(t, order, hr, tx, W, cz, cx)
+    rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, lap.shape, 0)
+    keep = (rows >= tx + 2 * h) & (rows < tx + h + nxe - h)
+    lap = jnp.where(keep, lap * masks_ref[0:1, :], 0.0)
+
+    t_c = jax.lax.slice(t, (hr, 0), (hr + tx, W))
+    m_c = jax.lax.slice(scr_m[cur], (hr, 0), (hr + tx, W))
+    ppn = 2.0 * t_c - x_ref[:, :] * m_c + v2_ref[:, :] * dt2 * lap
+    if with_img:
+        # K5: time-reversed trace column add at lane gz (one-hot mask row)
+        ppn = ppn + sism_ref[:, 0:1] * masks_ref[16:17, :]
+        # K6: zero-lag correlation on the un-extended interior
+        keep_im = ((rows >= tx + h + nxb) & (rows < tx + h + nxb + nx))
+        contrib = jnp.where(keep_im,
+                            imsrc_ref[:, :] * ppn * masks_ref[8:9, :], 0.0)
+        imn_ref[:, :] = im_ref[:, :] + contrib
+    ppn_ref[:, :] = ppn
+    pn_ref[:, :] = t_c
+
+
+def _packed_masks(order, nxe, nze, nzb, nz, gz, W):
+    """(24, W) VMEM mask pack: [0:8] laplacian col keep [2h, nze);
+    [8:16] imaging col keep (un-extended interior [h+nzb, h+nzb+nz));
+    [16:24] one-hot receiver column h+gz (gz is already border-offset)."""
+    h = order // 2
+    m = np.zeros((16, W), np.float32)
+    m[0:8, 2 * h:nze] = 1.0
+    m[8:16, h + nzb:h + nzb + nz] = 1.0
+    # gz may be traced (dynamic receiver depth): build the one-hot with jnp
+    gzhot = (jnp.arange(W)[None, :] == h + gz).astype(jnp.float32)
+    return jnp.concatenate([jnp.asarray(m),
+                            jnp.broadcast_to(gzhot, (8, W))], axis=0)
+
+
+def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
+                     nxe: int, nze: int, dt2: float, tile_rows: int = 64,
+                     interpret: bool = False):
+    """Untapered leapfrog update on the padded layout: returns
+    ``2p - pp + v2*dt2*lap(p)`` (the fd_back source-reconstruction step)."""
+    h = order // 2
+    hr = -(-h // 8) * 8
+    tx = tile_rows
+    R, W, _, _ = padded_layout(nxe, nze, order, tile_rows)
+    assert p_pad.shape == (R, W)
+    n_tx = R // tx
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    colmask = np.zeros((8, W), np.float32)
+    colmask[:, 2 * h:nze] = 1.0
+    kern = functools.partial(_kernel_update, order, hr, nxe, nze, tx, n_tx,
+                             R, W, float(dt2), cz, cx)
+    from .pallas_fd import vmem_params
+    cp = vmem_params(((2 + 8) * (tx + 2 * hr) * W + 8 * tx * W) * 4)
+    block = lambda: pl.BlockSpec((tx, W), lambda i: (i, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  block(), block(),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tx, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tx + 2 * hr, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=cp,
+        interpret=interpret,
+    )(p_pad, pp_pad, v2_pad, jnp.asarray(colmask))
+
+
+def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
+                       order: int, nxe: int, nze: int, dt2: float,
+                       nxb: int = 0, nzb: int = 0, nx: int = 0, nz: int = 0,
+                       gz: int = 0, sism_col=None, imloc_pad=None,
+                       imsrc_pad=None, tile_rows: int = 64,
+                       interpret: bool = False):
+    """Taper-first fused step (GPU-suite flavor, fd-code.cu:259-267 /
+    :325-329): ``t = y*mask``; returns ``(t, 2t - x*mask + v2*dt2*lap(t))``.
+    With ``sism_col`` (an (R, 128) block whose lane 0 carries the
+    time-reversed trace rows) the K5 column add folds in; with
+    ``imloc_pad``/``imsrc_pad`` the K6 zero-lag correlation accumulates on
+    the un-extended interior and the updated image is returned third."""
+    h = order // 2
+    hr = -(-h // 8) * 8
+    tx = tile_rows
+    R, W, _, _ = padded_layout(nxe, nze, order, tile_rows)
+    assert y_pad.shape == (R, W)
+    n_tx = R // tx
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    with_img = imloc_pad is not None
+    masks = _packed_masks(order, nxe, nze, nzb, nz if nz else nze, gz, W)
+    kern = functools.partial(_kernel_gpu, order, hr, nxe, nze, nxb, nzb,
+                             nx if nx else nxe, tx, n_tx, R, W, float(dt2),
+                             with_img, cz, cx)
+    from .pallas_fd import vmem_params
+    cp = vmem_params(((4 + 10) * (tx + 2 * hr) * W + 12 * tx * W) * 4)
+    block = lambda: pl.BlockSpec((tx, W), lambda i: (i, 0))
+    scratch = [pltpu.VMEM((2, tx + 2 * hr, W), jnp.float32),
+               pltpu.VMEM((2, tx + 2 * hr, W), jnp.float32),
+               pltpu.SemaphoreType.DMA((2,)),
+               pltpu.SemaphoreType.DMA((2,))]
+    if with_img:
+        return pl.pallas_call(
+            kern,
+            grid=(n_tx,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      block(), block(),
+                      pl.BlockSpec((tx, 128), lambda i: (i, 0)),
+                      block(), block(),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 3,
+            scratch_shapes=scratch,
+            compiler_params=cp,
+            interpret=interpret,
+        )(y_pad, mask_pad, x_pad, v2_pad, sism_col, imloc_pad, imsrc_pad,
+          jnp.asarray(masks))
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  block(), block(),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 2,
+        scratch_shapes=scratch,
+        compiler_params=cp,
+        interpret=interpret,
+    )(y_pad, mask_pad, x_pad, v2_pad, jnp.asarray(masks))

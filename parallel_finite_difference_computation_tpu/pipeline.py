@@ -57,13 +57,16 @@ def _run_with_fallback(run_pallas, run_lax, args, backend: str,
             raise
         import warnings
         first_err = f"{type(e).__name__}: {str(e)[:200]}"
-        if run_pallas_split is not None:
+        tiers = (run_pallas_split
+                 if isinstance(run_pallas_split, (list, tuple))
+                 else ([run_pallas_split] if run_pallas_split else []))
+        for tier in tiers:
             warnings.warn("whole-shot pallas kernel failed "
                           f"({first_err}); trying the next kernel tier")
             try:
-                return np.asarray(run_pallas_split(*args))
+                return np.asarray(tier(*args))
             except Exception as e2:
-                first_err += f"; split: {type(e2).__name__}: {str(e2)[:200]}"
+                first_err = f"{type(e2).__name__}: {str(e2)[:200]}"
         warnings.warn("pallas compilation failed for this config "
                       f"({first_err}); falling back to the lax path")
         return np.asarray(run_lax(*args))
@@ -368,6 +371,13 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                 *fd_forward_pallas(ctx, args[0], wav, args[2], g.sz),
                 args[1], g.gz),
             (v2, d, sxs)))
+        # beyond-VMEM tier: fused HBM-streaming padded-layout kernels
+        from .solver import rtm_shot_snapshot_tiled
+        run_tiled = jax.jit(lambda v2, sxs, d: jax.lax.map(
+            lambda args: rtm_shot_snapshot_tiled(ctx, args[0], wav, args[1],
+                                                 args[2], g.sz, g.gz),
+            (v2, d, sxs)))
+        run_split = [run_split, run_tiled]
     run_lax = jax.vmap(
         lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
                                             g.sz, g.gz))

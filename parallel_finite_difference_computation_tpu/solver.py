@@ -230,6 +230,70 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
             from_padded(pp, ctx.nxe, ctx.nze, order, tile_rows), rec)
 
 
+@partial(jax.jit, static_argnames=("ctx", "tile_rows", "interpret"))
+def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
+                            tile_rows: int = 64, interpret: bool = False):
+    """:func:`rtm_shot_snapshot` for grids beyond VMEM: every full-grid
+    pass of the GPU-suite shot body streams through the fused padded-layout
+    kernels (:mod:`..ops.pallas_stream`) — forward taper-first steps, the
+    untapered source reconstruction, and the receiver step with the K5
+    column injection and K6 imaging folded in. O(1)-cell point injection
+    and the two snapshot seeds stay in XLA. Returns the (nx, nz) image."""
+    from .ops.pallas_stream import (fd_update_padded, fd_step_gpu_padded,
+                                    padded_layout, to_padded, from_padded)
+    order = ctx.order
+    tr = tile_rows
+    R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tr)
+    v2_pad = to_padded(v2, order, tr)
+    mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tr)
+    zero = jnp.zeros((R, W), jnp.float32)
+
+    def gpu_step(y, x, **kw):
+        return fd_step_gpu_padded(y, x, v2_pad, mask_pad,
+                                  ctx.coefs_x, ctx.coefs_z, order,
+                                  ctx.nxe, ctx.nze, ctx.dt2,
+                                  nxb=ctx.nxb, nzb=ctx.nzb, nx=ctx.nx,
+                                  nz=ctx.nz, gz=gz, tile_rows=tr,
+                                  interpret=interpret, **kw)
+
+    # forward: swap -> taper(top) -> update -> point source (fd_forward)
+    def fwd(carry, amp):
+        p, pp = carry
+        pn, ppn = gpu_step(pp, p)
+        ppn = ppn.at[row0 + sx, col0 + sz].add(amp)
+        return (pn, ppn), None
+
+    (p, pp), _ = jax.lax.scan(fwd, (zero, zero), wavelet)
+    snap0_pad, snap1_pad = p, pp
+
+    # backward: untapered source reconstruction seeded from the snapshots,
+    # tapered receiver field with K5 injection, K6 imaging (fd_back)
+    inj = dobs[:, ::-1].T  # (nt, nx)
+
+    def bwd(carry, xs):
+        it, inj_t = xs
+        p, pp, pr, ppr, im = carry
+        ppn = jax.lax.cond(
+            it >= 2,
+            lambda: fd_update_padded(p, pp, v2_pad, ctx.coefs_x,
+                                     ctx.coefs_z, order, ctx.nxe, ctx.nze,
+                                     ctx.dt2, tr, interpret=interpret),
+            lambda: jnp.where(it == 0, snap1_pad, snap0_pad))
+        p_new, pp_new = ppn, p
+        scol = jnp.zeros((R, 128), jnp.float32).at[
+            row0 + ctx.nxb:row0 + ctx.nxb + ctx.nx, 0].set(inj_t)
+        prn, pprn, imn = gpu_step(pr, ppr, sism_col=scol, imloc_pad=im,
+                                  imsrc_pad=p_new)
+        return (p_new, pp_new, pprn, prn, imn), None
+
+    init = (zero, zero, zero, zero, zero)
+    xs = (jnp.arange(ctx.nt), inj)
+    (_, _, _, _, im), _ = jax.lax.scan(bwd, init, xs)
+    return jax.lax.slice(im, (row0 + ctx.nxb, col0 + ctx.nzb),
+                         (row0 + ctx.nxb + ctx.nx,
+                          col0 + ctx.nzb + ctx.nz))
+
+
 def _injection_rows(ctx, dobs, next_shot_first):
     """Receiver-injection rows with ``rtm_main``'s flat-read quirk.
 

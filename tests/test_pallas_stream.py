@@ -71,3 +71,26 @@ def test_modeling_matches_lax_path(source):
     fscale = max(1.0, float(np.abs(np.asarray(p1)).max()))
     assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-5 * fscale
     assert np.abs(np.asarray(pp2) - np.asarray(pp1)).max() < 1e-5 * fscale
+
+
+def test_rtm_snapshot_tiled_matches_lax_path():
+    """Full two-snapshot RTM through the streaming kernels == the lax
+    rtm_shot_snapshot (forward taper-first steps, untapered source
+    reconstruction, K5 column injection, K6 imaging)."""
+    from parallel_finite_difference_computation_tpu.solver import (
+        rtm_shot_snapshot, rtm_shot_snapshot_tiled)
+    ctx = _ctx(nx=26, nz=34, nt=10)
+    rng = np.random.default_rng(3)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    dobs = rng.standard_normal((ctx.nx, ctx.nt)).astype(np.float32)
+    sx, sz, gz = ctx.nxb + 9, ctx.nzb + 2, ctx.nzb + 1
+    ref = np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2), wav,
+                                       jnp.asarray(dobs), sx, sz, gz))
+    got = np.asarray(rtm_shot_snapshot_tiled(ctx, jnp.asarray(v2), wav,
+                                             jnp.asarray(dobs), sx, sz, gz,
+                                             tile_rows=16, interpret=True))
+    scale = max(1.0, np.abs(ref).max())
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5 * scale
