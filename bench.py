@@ -326,12 +326,14 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
     cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
     base = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
 
-    @jax.jit
-    def chain(x):
-        p = to_padded(x, 8, tile_rows)
-        for _ in range(repeats):
-            p = laplacian_pallas_padded(p, cx, cz, 8, n, n, tile_rows)
-        return from_padded(p, n, n, 8, tile_rows)
+    def chain(k):
+        @jax.jit
+        def f(x):
+            p = to_padded(x, 8, tile_rows)
+            for _ in range(k):
+                p = laplacian_pallas_padded(p, cx, cz, 8, n, n, tile_rows)
+            return from_padded(p, n, n, 8, tile_rows)
+        return f
 
     @jax.jit
     def single(x):
@@ -346,8 +348,12 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
         x, jnp.asarray(cx), jnp.asarray(cz), 8))(xs))
     err = float(np.abs(got - ref).max())
     make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
-    t = _prof_timeit(make, chain, warmup=2, iters=5) / repeats
-    return n * n / t / 1e9, t, err
+    t = _prof_timeit(make, chain(repeats), warmup=2, iters=5) / repeats
+    # slope between chain lengths cancels the constant dispatch/readback
+    # RTT (~26-30 ms through the tunnel) that inflates t by RTT/repeats
+    t3 = _prof_timeit(make, chain(3 * repeats), warmup=1, iters=3)
+    t_slope = max((t3 - t * repeats) / (2 * repeats), 1e-9)
+    return n * n / t / 1e9, t, err, n * n / t_slope / 1e9
 
 
 def bench_pluto_modeling(nt: int = 400):
@@ -471,13 +477,21 @@ def _main_body():
         except Exception as e:
             details["stencil_8192_pallas_error"] = str(e)[:200]
         try:
-            gp, tp, errp = bench_stencil_padded()
+            gp, tp, errp, gp_slope = bench_stencil_padded()
             details["stencil_8192_padded_gcell_per_s"] = gp
             details["stencil_8192_padded_s_per_apply"] = tp
             details["stencil_8192_padded_max_abs_err_vs_lax"] = errp
+            # dispatch-RTT-free kernel rate (slope between chain lengths)
+            details["stencil_8192_padded_gcell_per_s_slope"] = gp_slope
             ceil = vpu_ceiling_cell_rate(stencil_ops_per_cell(8))
             details["stencil_8192_padded_vpu_ceiling_fraction"] = (
                 gp * 1e9 / ceil)
+            if gp < FLOOR_STENCIL_GCELL:
+                floors.append(f"padded stencil {gp:.1f} GCell/s < "
+                              f"{FLOOR_STENCIL_GCELL}")
+            if errp > 1e-6:
+                floors.append(f"padded stencil err vs lax {errp:.2e} "
+                              "(measured bit-exact on this chip)")
         except Exception as e:
             details["stencil_8192_padded_error"] = str(e)[:200]
         try:

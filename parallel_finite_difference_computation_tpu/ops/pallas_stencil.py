@@ -157,6 +157,60 @@ def laplacian_pallas(p, coefs_x, coefs_z, order: int, tile=(256, 512),
 # DMAs, which crash this environment's Mosaic compiler.
 
 
+
+def _halo_dma_start(hbm, scratch, sems, ti, slot, tx, hr, n_tx, R):
+    """Start the halo read of row-tile ``ti`` into scratch ``slot``: always
+    a full-slot dst, 8-aligned src row offset, full width (sliced-dst DMAs
+    crash this Mosaic compiler). Tiles 0 / n_tx-1 are layout slack (outputs
+    masked) and read a frame-shifted but in-bounds slot."""
+    rows_slot = tx + 2 * hr
+
+    @pl.when(ti == 0)
+    def _():
+        pltpu.make_async_copy(hbm.at[pl.ds(0, rows_slot), :],
+                              scratch.at[slot], sems.at[slot]).start()
+
+    @pl.when((ti > 0) & (ti < n_tx - 1))
+    def _():
+        row = pl.multiple_of(ti * tx - hr, 8)
+        pltpu.make_async_copy(hbm.at[pl.ds(row, rows_slot), :],
+                              scratch.at[slot], sems.at[slot]).start()
+
+    @pl.when(ti == n_tx - 1)
+    def _():
+        pltpu.make_async_copy(hbm.at[pl.ds(R - rows_slot, rows_slot), :],
+                              scratch.at[slot], sems.at[slot]).start()
+
+
+def _halo_dma_wait(hbm, scratch, sems, slot, tx, hr):
+    pltpu.make_async_copy(hbm.at[pl.ds(0, tx + 2 * hr), :],
+                          scratch.at[slot], sems.at[slot]).wait()
+
+
+def _lap_taps(a, order, hr, tx, W, cz, cx):
+    """Laplacian taps on a (tx+2hr, W)-row halo frame: out row r maps to
+    frame row r+hr; returns the full-width (tx, W) laplacian, un-masked."""
+    h = order // 2
+    wz = W - order
+    acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
+    for io in range(1, order + 1):
+        acz = acz + cz[io] * jax.lax.slice(a, (hr, io), (hr + tx, io + wz))
+    r0 = hr - h
+    acx = cx[0] * jax.lax.slice(a, (r0, h), (r0 + tx, h + wz))
+    for io in range(1, order + 1):
+        acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
+                                           (r0 + io + tx, h + wz))
+    return jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+
+
+def _check_tile_rows(tile_rows, hr):
+    if tile_rows % 8 != 0 or tile_rows < hr:
+        raise ValueError(
+            f"tile_rows must be a multiple of 8 and >= {hr} (the rounded "
+            f"halo) — the halo DMA promises 8-aligned row offsets; got "
+            f"{tile_rows}")
+
+
 def padded_layout(nx: int, nz: int, order: int, tile_rows: int = 64):
     """Return (R, W, row0, col0) of the fixed-point layout for an (nx, nz)
     field: the interior lives at [row0, row0+nx) x [col0, col0+nz)."""
@@ -187,54 +241,21 @@ def _kernel_padded(order, hr, nx, nz, tx, n_tx, R, W, cz, cx,
                    inp_hbm, mask_ref, out_ref, scratch, sems):
     h = order // 2
     i = pl.program_id(0)
-    rows_slot = tx + 2 * hr
-
-    def dma(ti, slot):
-        # full-slot dst, 8-aligned src row offset, full width in every branch
-        @pl.when(ti == 0)
-        def _():
-            pltpu.make_async_copy(
-                inp_hbm.at[pl.ds(0, rows_slot), :],
-                scratch.at[slot], sems.at[slot]).start()
-
-        @pl.when((ti > 0) & (ti < n_tx - 1))
-        def _():
-            row = pl.multiple_of(ti * tx - hr, 8)
-            pltpu.make_async_copy(
-                inp_hbm.at[pl.ds(row, rows_slot), :],
-                scratch.at[slot], sems.at[slot]).start()
-
-        @pl.when(ti == n_tx - 1)
-        def _():
-            pltpu.make_async_copy(
-                inp_hbm.at[pl.ds(R - rows_slot, rows_slot), :],
-                scratch.at[slot], sems.at[slot]).start()
 
     @pl.when(i == 0)
     def _():
-        dma(0, 0)
+        _halo_dma_start(inp_hbm, scratch, sems, 0, 0, tx, hr, n_tx, R)
 
     @pl.when(i + 1 < n_tx)
     def _():
-        dma(i + 1, jax.lax.rem(i + 1, 2))
+        _halo_dma_start(inp_hbm, scratch, sems, i + 1,
+                        jax.lax.rem(i + 1, 2), tx, hr, n_tx, R)
 
     cur = jax.lax.rem(i, 2)
-    pltpu.make_async_copy(
-        inp_hbm.at[pl.ds(0, rows_slot), :],
-        scratch.at[cur], sems.at[cur]).wait()
+    _halo_dma_wait(inp_hbm, scratch, sems, cur, tx, hr)
 
     # out row r maps to scratch row r + hr; taps at r + hr + (io - h)
-    a = scratch[cur]
-    wz = W - order
-    acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
-    for io in range(1, order + 1):
-        acz = acz + cz[io] * jax.lax.slice(a, (hr, io), (hr + tx, io + wz))
-    r0 = hr - h
-    acx = cx[0] * jax.lax.slice(a, (r0, h), (r0 + tx, h + wz))
-    for io in range(1, order + 1):
-        acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
-                                           (r0 + io + tx, h + wz))
-    full = jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+    full = _lap_taps(scratch[cur], order, hr, tx, W, cz, cx)
     # zero the h-frame and all padding: rows via sublane iota, cols via a
     # VMEM mask row (lane-axis iota is unavailable in-kernel)
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
@@ -253,6 +274,7 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
     Requires order <= 16 (hr = 8 row-halo granularity covers h <= 8)."""
     h = order // 2
     hr = -(-h // 8) * 8
+    _check_tile_rows(tile_rows, hr)
     tx = tile_rows
     R, W, row0, col0 = padded_layout(nx, nz, order, tile_rows)
     assert p_pad.shape == (R, W), (p_pad.shape, (R, W))

@@ -32,55 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_stencil import padded_layout, to_padded, from_padded
+from .pallas_stencil import (padded_layout, to_padded, from_padded,
+                             _halo_dma_start, _halo_dma_wait, _lap_taps,
+                             _check_tile_rows)
 
 __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
            "padded_layout", "to_padded", "from_padded"]
-
-
-def _halo_dma_start(hbm, scratch, sems, ti, slot, tx, hr, n_tx, R):
-    """Start the halo read of row-tile ``ti`` into scratch ``slot``: always
-    a full-slot dst, 8-aligned src row offset, full width (sliced-dst DMAs
-    crash this Mosaic compiler). Tiles 0 / n_tx-1 are layout slack (outputs
-    masked) and read a frame-shifted but in-bounds slot."""
-    rows_slot = tx + 2 * hr
-
-    @pl.when(ti == 0)
-    def _():
-        pltpu.make_async_copy(hbm.at[pl.ds(0, rows_slot), :],
-                              scratch.at[slot], sems.at[slot]).start()
-
-    @pl.when((ti > 0) & (ti < n_tx - 1))
-    def _():
-        row = pl.multiple_of(ti * tx - hr, 8)
-        pltpu.make_async_copy(hbm.at[pl.ds(row, rows_slot), :],
-                              scratch.at[slot], sems.at[slot]).start()
-
-    @pl.when(ti == n_tx - 1)
-    def _():
-        pltpu.make_async_copy(hbm.at[pl.ds(R - rows_slot, rows_slot), :],
-                              scratch.at[slot], sems.at[slot]).start()
-
-
-def _halo_dma_wait(hbm, scratch, sems, slot, tx, hr):
-    pltpu.make_async_copy(hbm.at[pl.ds(0, tx + 2 * hr), :],
-                          scratch.at[slot], sems.at[slot]).wait()
-
-
-def _lap_taps(a, order, hr, tx, W, cz, cx):
-    """Laplacian taps on a (tx+2hr, W)-row halo frame: out row r maps to
-    frame row r+hr; returns the full-width (tx, W) laplacian, un-masked."""
-    h = order // 2
-    wz = W - order
-    acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
-    for io in range(1, order + 1):
-        acz = acz + cz[io] * jax.lax.slice(a, (hr, io), (hr + tx, io + wz))
-    r0 = hr - h
-    acx = cx[0] * jax.lax.slice(a, (r0, h), (r0 + tx, h + wz))
-    for io in range(1, order + 1):
-        acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
-                                           (r0 + io + tx, h + wz))
-    return jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
 
 
 def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
@@ -127,6 +84,7 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     the next step directly."""
     h = order // 2
     hr = -(-h // 8) * 8
+    _check_tile_rows(tile_rows, hr)
     tx = tile_rows
     R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
     assert p_pad.shape == (R, W), (p_pad.shape, (R, W))
@@ -196,7 +154,12 @@ def _kernel_update(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
     keep = (rows >= tx + 2 * h) & (rows < tx + h + nxe - h)
     lap = jnp.where(keep, lap * colmask_ref[0:1, :], 0.0)
     p_c = jax.lax.slice(a, (hr, 0), (hr + tx, W))
-    ppn_ref[:, :] = 2.0 * p_c - pp_ref[:, :] + v2_ref[:, :] * dt2 * lap
+    # zero the layout slack/pad rows: tile 0 reads a frame-shifted slot, so
+    # unmasked outputs would leak interior values into the slack rows and
+    # recirculate through the scan carry (pads must provably stay zero)
+    keep_f = (rows >= tx + h) & (rows < tx + h + nxe)
+    ppn_ref[:, :] = jnp.where(
+        keep_f, 2.0 * p_c - pp_ref[:, :] + v2_ref[:, :] * dt2 * lap, 0.0)
 
 
 def _kernel_gpu(order, hr, nxe, nze, nxb, nzb, nx, tx, n_tx, R, W, dt2,
@@ -238,7 +201,12 @@ def _kernel_gpu(order, hr, nxe, nze, nxb, nzb, nx, tx, n_tx, R, W, dt2,
 
     t_c = jax.lax.slice(t, (hr, 0), (hr + tx, W))
     m_c = jax.lax.slice(scr_m[cur], (hr, 0), (hr + tx, W))
-    ppn = 2.0 * t_c - x_ref[:, :] * m_c + v2_ref[:, :] * dt2 * lap
+    # zero slack/pad rows (tile 0 is frame-shifted; see _kernel_update)
+    keep_f = (rows >= tx + h) & (rows < tx + h + nxe)
+    t_c = jnp.where(keep_f, t_c, 0.0)
+    ppn = jnp.where(
+        keep_f, 2.0 * t_c - x_ref[:, :] * m_c + v2_ref[:, :] * dt2 * lap,
+        0.0)
     if with_img:
         # K5: time-reversed trace column add at lane gz (one-hot mask row)
         ppn = ppn + sism_ref[:, 0:1] * masks_ref[16:17, :]
@@ -272,6 +240,7 @@ def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
     ``2p - pp + v2*dt2*lap(p)`` (the fd_back source-reconstruction step)."""
     h = order // 2
     hr = -(-h // 8) * 8
+    _check_tile_rows(tile_rows, hr)
     tx = tile_rows
     R, W, _, _ = padded_layout(nxe, nze, order, tile_rows)
     assert p_pad.shape == (R, W)
@@ -315,6 +284,7 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     the un-extended interior and the updated image is returned third."""
     h = order // 2
     hr = -(-h // 8) * 8
+    _check_tile_rows(tile_rows, hr)
     tx = tile_rows
     R, W, _, _ = padded_layout(nxe, nze, order, tile_rows)
     assert y_pad.shape == (R, W)

@@ -60,13 +60,14 @@ def _run_with_fallback(run_pallas, run_lax, args, backend: str,
         tiers = (run_pallas_split
                  if isinstance(run_pallas_split, (list, tuple))
                  else ([run_pallas_split] if run_pallas_split else []))
-        for tier in tiers:
-            warnings.warn("whole-shot pallas kernel failed "
+        for k, tier in enumerate(tiers):
+            warnings.warn(f"pallas kernel tier {k} failed "
                           f"({first_err}); trying the next kernel tier")
             try:
                 return np.asarray(tier(*args))
             except Exception as e2:
-                first_err = f"{type(e2).__name__}: {str(e2)[:200]}"
+                first_err += (f"; tier {k + 1}: {type(e2).__name__}: "
+                              f"{str(e2)[:200]}")
         warnings.warn("pallas compilation failed for this config "
                       f"({first_err}); falling back to the lax path")
         return np.asarray(run_lax(*args))

@@ -194,6 +194,10 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
     """
     from .ops.pallas_stream import (fd_step_padded, padded_layout,
                                     to_padded, from_padded)
+    if record not in ("trace", "none"):
+        raise ValueError(f"forward_modeling_tiled supports record='trace'"
+                         f"/'none', not {record!r} (use forward_modeling"
+                         " for wavefield recording)")
     order = ctx.order
     R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tile_rows)
     v2_pad = to_padded(v2, order, tile_rows)

@@ -109,25 +109,44 @@ def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
 
 
 def measure_stream_gbps(n: int = 8192, iters: int = 5) -> float:
-    """Measured achievable HBM streaming bandwidth (GB/s, read+write) via a
-    chained elementwise map over an (n, n) f32 array — the empirical
+    """Measured achievable HBM streaming bandwidth (GB/s, read+write) via
+    chained elementwise maps over an (n, n) f32 array — the empirical
     counterpart of :func:`device_hbm_gbps`. On the tunneled dev chip the
     measured rate (~285 GB/s) is far below the device-kind spec sheet, so
     perf fractions quoted against this number reflect what is actually
-    attainable by XLA's own pipeline on the same hardware path."""
+    attainable by XLA's own pipeline on the same hardware path.
+
+    Two defenses make this honest on the tunneled dev setup:
+    * ``lax.optimization_barrier`` between steps — without it XLA
+      loop-fuses the whole chain into ONE pass (measured: a 4-chain and a
+      16-chain take identical wall time) and the naive estimate divides
+      dispatch RTT by the chain length, reporting a fantasy rate (the
+      round-1/2 "285 GB/s" was exactly this artifact).
+    * the *slope* between a 16-chain and a 64-chain (48 extra passes),
+      which cancels the constant ~26-30 ms dispatch/readback RTT that
+      otherwise inflates every per-pass number by RTT/chain_len."""
     import numpy as np
     x = jnp.asarray(np.linspace(0, 1, n * n, dtype=np.float32).reshape(n, n))
-    k = 16
 
-    @jax.jit
-    def chain(x):
-        for i in range(k):
-            x = x * (1.0 + 1e-9 * i) + 1.0
-        return x
+    def chain(k):
+        @jax.jit
+        def f(x):
+            for i in range(k):
+                x = jax.lax.optimization_barrier(x * (1.0 + 1e-9 * i) + 1.0)
+            return x
+        return f
 
-    t = timeit(lambda i: (x + np.float32(i) * 1e-9,), chain,
-               warmup=2, iters=iters) / k
-    return 2 * n * n * 4 / t / 1e9
+    t16 = timeit(lambda i: (x + np.float32(i) * 1e-9,), chain(16),
+                 warmup=2, iters=iters)
+    t64 = timeit(lambda i: (x + np.float32(i) * 1e-9,), chain(64),
+                 warmup=2, iters=iters)
+    per_pass = (t64 - t16) / 48
+    bw = 2 * n * n * 4 / per_pass / 1e9
+    if per_pass <= 0 or bw > 4000.0:
+        raise RuntimeError(
+            f"stream passes not materializing (t16={t16:.4f}s "
+            f"t64={t64:.4f}s -> implied {bw:.0f} GB/s); measurement invalid")
+    return bw
 
 
 @contextlib.contextmanager

@@ -94,3 +94,44 @@ def test_rtm_snapshot_tiled_matches_lax_path():
     scale = max(1.0, np.abs(ref).max())
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 1e-5 * scale
+
+
+def test_gpu_kernels_keep_pads_zero():
+    """Regression: tile 0's frame-shifted slot must not leak interior
+    values into the slack rows through unmasked outputs (the values would
+    recirculate and grow through the scan carry)."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_stream import (
+        fd_update_padded, fd_step_gpu_padded)
+    ctx = _ctx()
+    rng = np.random.default_rng(5)
+    shape = (ctx.nxe, ctx.nze)
+    tr = 16
+    R, W, r0, c0 = padded_layout(ctx.nxe, ctx.nze, ctx.order, tr)
+
+    def pad(a):
+        return to_padded(jnp.asarray(a), ctx.order, tr)
+
+    p = rng.standard_normal(shape).astype(np.float32)
+    pp = rng.standard_normal(shape).astype(np.float32)
+    v2 = np.full(shape, 4e6, np.float32)
+    mask = np.asarray(ctx.mask_top)
+    args = (ctx.coefs_x, ctx.coefs_z, ctx.order, ctx.nxe, ctx.nze, ctx.dt2)
+
+    def leak(out):
+        a = np.array(out)
+        a[r0:r0 + ctx.nxe, c0:c0 + ctx.nze] = 0
+        return np.abs(a).max()
+
+    upd = fd_update_padded(pad(p), pad(pp), pad(v2), *args, tile_rows=tr,
+                           interpret=True)
+    assert leak(upd) == 0.0
+
+    sism = jnp.zeros((R, 128), jnp.float32)
+    outs = fd_step_gpu_padded(pad(p), pad(pp), pad(v2), pad(mask), *args,
+                              nxb=ctx.nxb, nzb=ctx.nzb, nx=ctx.nx,
+                              nz=ctx.nz, gz=ctx.nzb + 1, sism_col=sism,
+                              imloc_pad=pad(np.zeros(shape, np.float32)),
+                              imsrc_pad=pad(p), tile_rows=tr,
+                              interpret=True)
+    for out in outs:
+        assert leak(out) == 0.0
