@@ -438,6 +438,11 @@ def _main_body():
         try:
             t_b32 = bench_rtm_pallas_batched(n_shots=32)
             details["rtm_3lay_pallas_s_per_shot_batched32"] = t_b32
+            # sustained per-shot cost with the fixed per-dispatch RTT
+            # cancelled: slope between the two batch sizes
+            slope = (t_b32 * 32 - t_pallas * 8) / 24
+            if slope > 0:
+                details["rtm_3lay_pallas_s_per_shot_slope"] = slope
         except Exception as e:
             details["rtm_3lay_pallas_batched32_error"] = str(e)[:200]
         try:
