@@ -279,9 +279,10 @@ def bench_stencil_large(n: int = 8192, repeats: int = 16,
     as best-of-5 per tile (pins the session-to-session variance round 1
     observed). This is compute-bound on v5e — order-8 f32 arithmetic
     intensity (~4.4 flop/byte at the 2-pass traffic floor) exceeds the
-    VPU/HBM balance point, so the VPU issue-rate ceiling
-    (:func:`profiling.vpu_ceiling_cell_rate`, ~27.5 GCell/s), not the HBM
-    roofline, is the speed-of-light. Returns (gcell, s_per_apply, tile)."""
+    VPU/HBM balance point, so the measured VPU issue-rate ceiling
+    (:func:`profiling.vpu_ceiling_cell_rate`, ~57.8 GCell/s for the 35-op
+    stencil), not the HBM roofline, is the speed-of-light.
+    Returns (gcell, s_per_apply, tile)."""
     from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
         laplacian_pallas)
     cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
@@ -317,8 +318,11 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
     no per-apply pad/slice — profiling showed the per-call jnp.pad inside
     ``laplacian_pallas`` costs ~45% of each apply at 8192^2, so this is the
     honest repeated-apply rate of the kernel itself (the one-shot embed and
-    extract are amortized over ``repeats``). Returns (gcell, s_per_apply,
-    max_abs_err_vs_lax)."""
+    extract are amortized over ``repeats``). Returns a 4-tuple
+    (gcell, s_per_apply, max_abs_err_vs_lax, gcell_slope) where gcell_slope
+    is the dispatch-RTT-cancelled rate from the slope between the
+    ``repeats`` and ``3*repeats`` chain lengths — the sustained kernel rate
+    a long run sees."""
     from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
         laplacian_pallas_padded, to_padded, from_padded)
     from parallel_finite_difference_computation_tpu.ops.stencil import (
@@ -491,6 +495,8 @@ def _main_body():
             ceil = vpu_ceiling_cell_rate(stencil_ops_per_cell(8))
             details["stencil_8192_padded_vpu_ceiling_fraction"] = (
                 gp * 1e9 / ceil)
+            details["stencil_8192_padded_slope_vpu_ceiling_fraction"] = (
+                gp_slope * 1e9 / ceil)
             if gp < FLOOR_STENCIL_GCELL:
                 floors.append(f"padded stencil {gp:.1f} GCell/s < "
                               f"{FLOOR_STENCIL_GCELL}")

@@ -61,8 +61,8 @@ def _run_with_fallback(run_pallas, run_lax, args, backend: str,
                  if isinstance(run_pallas_split, (list, tuple))
                  else ([run_pallas_split] if run_pallas_split else []))
         for k, tier in enumerate(tiers):
-            warnings.warn(f"pallas kernel tier {k} failed "
-                          f"({first_err}); trying the next kernel tier")
+            warnings.warn(f"previous kernel tier failed ({first_err}); "
+                          f"trying fallback tier {k}")
             try:
                 return np.asarray(tier(*args))
             except Exception as e2:

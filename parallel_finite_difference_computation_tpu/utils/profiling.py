@@ -73,11 +73,19 @@ def roofline_fraction(nbytes: int, seconds: float, device=None) -> float:
     return (nbytes / seconds) / (device_hbm_gbps(device) * 1e9)
 
 
-# VPU ceiling model: one (8,128)-register vector ALU op per cycle.
-# Order-8 f32 stencils are *compute*-bound on v5e — arithmetic intensity
-# (~4.4 flop/byte at the 2-pass HBM traffic floor) exceeds the VPU/HBM
-# balance point — so the speed-of-light is the VPU issue rate, not HBM.
+# VPU ceiling model. Order-8 f32 stencils are *compute*-bound on v5e —
+# arithmetic intensity (~4.4 flop/byte at the 2-pass HBM traffic floor)
+# exceeds the VPU/HBM balance point — so the speed-of-light is the VPU
+# issue rate, not HBM. The issue rate is MICRO-MEASURED, not the naive
+# 1-op/cycle model: an in-VMEM update micro-kernel sustains ~52
+# GCell-updates/s across the 41-op fused FD update at (232,256)
+# (docs/PALLAS_NOTES.md "Round 2 (cont.)"), i.e. ~2.1 (8,128)-vector
+# op-slots retired per cycle at 0.94 GHz — the VPU dual-issues. All
+# recorded *_ceiling_fraction entries are quoted against this measured
+# model; the superseded single-issue model underestimated the hardware
+# by ~2x (it produced recorded "fractions" above 1.0).
 _VPU_REG_LANES = 8 * 128
+_VPU_ISSUE_SLOTS_PER_CYCLE = 2.1  # micro-measured on v5e (PALLAS_NOTES.md)
 _CLOCK_GHZ = {
     "TPU v5 lite": 0.94,    # v5e
     "TPU v5": 1.75,         # v5p
@@ -102,18 +110,21 @@ def stencil_ops_per_cell(order: int) -> int:
 
 
 def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
-    """Speed-of-light cell-update rate (cells/s) under the VPU issue model:
-    8x128 vector lanes, one ALU op per lane per cycle at the device clock.
-    ~27.5 GCell/s for the order-8 Laplacian on v5e."""
-    return _VPU_REG_LANES * _device_clock_ghz(device) * 1e9 / ops_per_cell
+    """Speed-of-light cell-update rate (cells/s) under the measured VPU
+    issue model: 8x128 vector lanes retiring ~2.1 op-slots per cycle at the
+    device clock (micro-measured in VMEM, docs/PALLAS_NOTES.md). ~57.8
+    GCell/s for the 35-op order-8 Laplacian on v5e, ~49.3 GCell/s for the
+    41-op fused RTM update."""
+    return (_VPU_REG_LANES * _VPU_ISSUE_SLOTS_PER_CYCLE
+            * _device_clock_ghz(device) * 1e9 / ops_per_cell)
 
 
 def measure_stream_gbps(n: int = 8192, iters: int = 5) -> float:
     """Measured achievable HBM streaming bandwidth (GB/s, read+write) via
     chained elementwise maps over an (n, n) f32 array — the empirical
-    counterpart of :func:`device_hbm_gbps`. On the tunneled dev chip the
-    measured rate (~285 GB/s) is far below the device-kind spec sheet, so
-    perf fractions quoted against this number reflect what is actually
+    counterpart of :func:`device_hbm_gbps`. On the tunneled dev chip this
+    measures ~650-680 GB/s (~80% of the 819 GB/s v5e spec), so perf
+    fractions quoted against this number reflect what is actually
     attainable by XLA's own pipeline on the same hardware path.
 
     Two defenses make this honest on the tunneled dev setup:
@@ -141,8 +152,12 @@ def measure_stream_gbps(n: int = 8192, iters: int = 5) -> float:
     t64 = timeit(lambda i: (x + np.float32(i) * 1e-9,), chain(64),
                  warmup=2, iters=iters)
     per_pass = (t64 - t16) / 48
+    if per_pass <= 0:
+        raise RuntimeError(
+            f"stream passes not materializing (t16={t16:.4f}s "
+            f"t64={t64:.4f}s -> non-positive slope); measurement invalid")
     bw = 2 * n * n * 4 / per_pass / 1e9
-    if per_pass <= 0 or bw > 4000.0:
+    if bw > 4000.0:
         raise RuntimeError(
             f"stream passes not materializing (t16={t16:.4f}s "
             f"t64={t64:.4f}s -> implied {bw:.0f} GB/s); measurement invalid")
