@@ -242,7 +242,8 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
 
 def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
-                outdir: Optional[str] = None, mesh=None):
+                outdir: Optional[str] = None, mesh=None,
+                backend: str = "auto"):
     """``rtm_main``: migrate all shots with full-wavefield storage.
 
     Returns ``(img, imlocs)`` — the stacked (nx, nz) image and the (ns, nx,
@@ -251,7 +252,10 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     ``rtm_main.cpp:232,247``.
 
     A mesh with an x axis > 1 decomposes the grid (and the 2*nt stored
-    wavefields' memory) across devices."""
+    wavefields' memory) across devices. On large grids (beyond the
+    whole-grid-fusion sweet spot) ``backend="auto"`` routes each shot
+    through the HBM-streaming padded-layout kernels
+    (:func:`..solver.rtm_shot_full_tiled`); "tiled"/"lax" force a tier."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     if dobs is None:
@@ -269,9 +273,21 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
             io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
         return img, imlocs
 
-    run = jax.vmap(
-        lambda sx, d, nx1: rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz,
-                                         next_shot_first=nx1))
+    # tier choice: the lax whole-grid fusion wins on small grids; beyond
+    # ~1.5 MCell the fused HBM-streaming kernels win (measured 3.7x at
+    # pluto scale) and auto routes there on TPU
+    use_tiled = backend == "tiled" or (
+        backend == "auto" and jax.devices()[0].platform == "tpu"
+        and p.nxe * p.nze > 1_500_000)
+    if use_tiled:
+        from .solver import rtm_shot_full_tiled
+        shot = lambda sx, d, nx1: rtm_shot_full_tiled(
+            ctx, vel2, wav, d, sx, g.sz, g.gz, next_shot_first=nx1)
+    else:
+        shot = lambda sx, d, nx1: rtm_shot_full(
+            ctx, vel2, wav, d, sx, g.sz, g.gz, next_shot_first=nx1)
+    run = jax.jit(lambda sxs, ds, nx1s: jax.lax.map(
+        lambda args: shot(*args), (sxs, ds, nx1s)))
     # the it=0 flat-read of each shot's last trace crosses into the next
     # shot's first sample in the reference's contiguous dobs block
     # (rtm_main.cpp:202); 0 for the last shot (see solver._injection_rows)

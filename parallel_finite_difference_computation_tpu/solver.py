@@ -41,7 +41,10 @@ from .ops.stencil import (
 )
 
 __all__ = ["FDContext", "forward_modeling", "fd_forward", "fd_back",
-           "rtm_shot_snapshot", "rtm_shot_full", "rtm_shot_checkpointed"]
+           "rtm_shot_snapshot", "rtm_shot_full", "rtm_shot_checkpointed",
+           "forward_modeling_tiled", "backward_recorded_tiled",
+           "rtm_shot_full_tiled", "rtm_shot_snapshot_tiled",
+           "backward_recorded"]
 
 _F = np.float32
 
@@ -175,33 +178,38 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
     return p, pp, rec
 
 
-@partial(jax.jit, static_argnames=("ctx", "source", "record", "tile_rows",
-                                   "interpret"))
+@partial(jax.jit, static_argnames=("ctx", "source", "taper", "record",
+                                   "tile_rows", "interpret"))
 def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
-                           source: str = "gaussian",
+                           source: str = "gaussian", taper: str = "all",
                            record: str = "trace", tile_rows: int = 64,
                            interpret: bool = False):
-    """:func:`forward_modeling` (taper="all") for grids beyond VMEM: the
-    per-step Laplacian+leapfrog+taper is ONE fused HBM-streaming Pallas
+    """:func:`forward_modeling` for grids beyond VMEM: the per-step
+    Laplacian+leapfrog+taper is ONE fused HBM-streaming Pallas
     pass (:func:`..ops.pallas_stream.fd_step_padded`) on the fixed-point
     padded layout, carried directly by the scan — no per-step pad/slice.
     O(1)-cell source injection and trace recording stay in XLA. Matches
     the lax path to float rounding (the injected cells see
     ``u*m + a*patch*m`` instead of ``(u + a*patch)*m``).
 
+    ``record="wavefield"`` streams the (nx, nz) interior of the tapered
+    time-t field to an HBM (nt, nx, nz) output each step (``rtm_main.cpp:
+    177-181``) — the single-chip beyond-VMEM tier of the full-wavefield
+    ``rtm_main`` flavor (see :func:`rtm_shot_full_tiled`).
+
     Returns ``(p, pp, recorded)`` shaped exactly like
     :func:`forward_modeling`.
     """
     from .ops.pallas_stream import (fd_step_padded, padded_layout,
                                     to_padded, from_padded)
-    if record not in ("trace", "none"):
-        raise ValueError(f"forward_modeling_tiled supports record='trace'"
-                         f"/'none', not {record!r} (use forward_modeling"
-                         " for wavefield recording)")
+    if record not in ("trace", "wavefield", "none"):
+        raise ValueError(f"unknown record mode {record!r}")
     order = ctx.order
     R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tile_rows)
     v2_pad = to_padded(v2, order, tile_rows)
-    mask_pad = to_padded(jnp.asarray(ctx.mask_all), order, tile_rows)
+    mask_pad = to_padded(
+        jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
+        order, tile_rows)
     if source == "gaussian":
         patch = jnp.asarray(ctx.source_patch)
     else:
@@ -224,6 +232,10 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
         if record == "trace":
             out = jax.lax.dynamic_slice(
                 pn, (row0 + ctx.nxb, col0 + gz), (ctx.nx, 1))[:, 0]
+        elif record == "wavefield":
+            out = jax.lax.slice(
+                pn, (row0 + ctx.nxb, col0 + ctx.nzb),
+                (row0 + ctx.nxb + ctx.nx, col0 + ctx.nzb + ctx.nz))
         else:
             out = None
         return (ppn, pn), out
@@ -371,6 +383,74 @@ def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     return jnp.sum(swf[::-1] * rwf, axis=0)
 
 
+@partial(jax.jit, static_argnames=("ctx", "x_off_quirk", "tile_rows",
+                                   "interpret"))
+def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
+                            x_off_quirk: bool = True, next_shot_first=0.0,
+                            tile_rows: int = 64, interpret: bool = False):
+    """:func:`backward_recorded` for grids beyond VMEM: each step is one
+    fused HBM-streaming pass (:func:`..ops.pallas_stream.fd_step_padded`,
+    top-strip mask) on the padded layout; the K5 receiver-row injection
+    (incl. the flat-read and nzb-offset quirks) and the interior wavefield
+    recording stay in XLA. Returns ``(p, pp, rwf)`` shaped like
+    :func:`backward_recorded`."""
+    from .ops.pallas_stream import (fd_step_padded, padded_layout,
+                                    to_padded, from_padded)
+    order = ctx.order
+    R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tile_rows)
+    v2_pad = to_padded(v2, order, tile_rows)
+    mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tile_rows)
+    x_off = ctx.nzb if x_off_quirk else ctx.nxb
+    inj = _injection_rows(ctx, dobs, next_shot_first)
+
+    def step(carry, inj_t):
+        p, pp = carry
+        pn, ppn = fd_step_padded(p, pp, v2_pad, mask_pad,
+                                 ctx.coefs_x, ctx.coefs_z, order,
+                                 ctx.nxe, ctx.nze, ctx.dt2, tile_rows,
+                                 interpret=interpret)
+        # masked receiver-row injection (reference order is update ->
+        # inject -> taper; the mask factors in per cell)
+        r0, c0 = row0 + x_off, col0 + gz
+        msl = jax.lax.dynamic_slice(mask_pad, (r0, c0), (ctx.nx, 1))
+        sub = jax.lax.dynamic_slice(ppn, (r0, c0), (ctx.nx, 1))
+        ppn = jax.lax.dynamic_update_slice(
+            ppn, sub + inj_t[:, None] * msl, (r0, c0))
+        out = jax.lax.slice(pn, (row0 + ctx.nxb, col0 + ctx.nzb),
+                            (row0 + ctx.nxb + ctx.nx,
+                             col0 + ctx.nzb + ctx.nz))
+        return (ppn, pn), out
+
+    zero = jnp.zeros((R, W), jnp.float32)
+    (p, pp), rwf = jax.lax.scan(step, (zero, zero), inj)
+    return (from_padded(p, ctx.nxe, ctx.nze, order, tile_rows),
+            from_padded(pp, ctx.nxe, ctx.nze, order, tile_rows), rwf)
+
+
+@partial(jax.jit, static_argnames=("ctx", "x_off_quirk", "tile_rows",
+                                   "interpret"))
+def rtm_shot_full_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
+                        x_off_quirk: bool = True, next_shot_first=0.0,
+                        tile_rows: int = 64, interpret: bool = False):
+    """:func:`rtm_shot_full` (the full-wavefield ``rtm_main`` flavor,
+    ``rtm_main.cpp:158-247``) for grids beyond VMEM: both propagations
+    stream through the fused padded-layout kernel while the two (nt, nx,
+    nz) wavefield stores live in HBM. Memory is bounded by the wavefield
+    stores (2*nt*nx*nz*4 B), exactly like the reference's ``swf``/``rwf``
+    design point (``rtm_main.cpp:141-142``). Returns the (nx, nz) image."""
+    _, _, swf = forward_modeling_tiled(ctx, v2, wavelet, sx, sz, gz,
+                                       source="point", taper="top",
+                                       record="wavefield",
+                                       tile_rows=tile_rows,
+                                       interpret=interpret)
+    _, _, rwf = backward_recorded_tiled(ctx, v2, dobs, gz,
+                                        x_off_quirk=x_off_quirk,
+                                        next_shot_first=next_shot_first,
+                                        tile_rows=tile_rows,
+                                        interpret=interpret)
+    return jnp.sum(swf[::-1] * rwf, axis=0)
+
+
 @partial(jax.jit, static_argnames=("ctx", "save_every", "x_off_quirk"))
 def rtm_shot_checkpointed(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                           save_every: int = 32, x_off_quirk: bool = True,
@@ -489,8 +569,9 @@ def fd_forward(ctx: FDContext, v2, wavelet, sx, sz,
     return p, pp, cap
 
 
-@partial(jax.jit, static_argnames=("ctx",))
-def fd_back(ctx: FDContext, v2, snap0, snap1, dobs, gz):
+@partial(jax.jit, static_argnames=("ctx", "return_fields"))
+def fd_back(ctx: FDContext, v2, snap0, snap1, dobs, gz,
+            return_fields: bool = False):
     """GPU-suite backward propagation + imaging (``fd_back``,
     ``fd-code.cu:290-341``).
 
@@ -501,7 +582,11 @@ def fd_back(ctx: FDContext, v2, snap0, snap1, dobs, gz):
     observed data ``dobs`` (nx, nt) injected along row ``gz`` (K5); the
     zero-lag correlation (K6) accumulates on-device each step.
 
-    Returns the (nx, nz) per-shot image ``imloc``.
+    Returns the (nx, nz) per-shot image ``imloc``; with
+    ``return_fields=True`` returns ``(imloc, p, pp, pr, ppr)`` — the final
+    source-reconstruction and receiver fields, used by the upstream-norms
+    diagnostic (scripts/check_upstream_norms.py) against the run-recorded
+    values at ``cuda_reference_RTM/models/marmousi/input.dat:22-24``.
     """
     mask = jnp.asarray(ctx.mask_top)
     inj = dobs[:, ::-1].T  # (nt, nrec): inj[it] = dobs[:, nt-1-it]
@@ -526,7 +611,9 @@ def fd_back(ctx: FDContext, v2, snap0, snap1, dobs, gz):
     imloc0 = jnp.zeros((ctx.nx, ctx.nz), jnp.float32)
     init = (z, z, z, z, imloc0)
     xs = (jnp.arange(ctx.nt), inj)
-    (_, _, _, _, imloc), _ = jax.lax.scan(step, init, xs)
+    (p, pp, pr, ppr, imloc), _ = jax.lax.scan(step, init, xs)
+    if return_fields:
+        return imloc, p, pp, pr, ppr
     return imloc
 
 

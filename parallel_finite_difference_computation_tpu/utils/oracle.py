@@ -55,6 +55,14 @@ CONFIGS = {
         "input": "cuda_reference_RTM/models/new_mod/input.dat",
         "model_dir": "cuda_reference_RTM/models/new_mod",
     },
+    # the flagship GPU-suite model (369x375, nt=3004) and the only GPU
+    # config with anisotropic spacing (dz=8 != dx=25); its observed data
+    # (dado_teste.bin) is missing upstream, so dobs is synthesized via the
+    # oracle's mod mode like the others
+    "marmousi": {
+        "input": "cuda_reference_RTM/models/marmousi/input.dat",
+        "model_dir": "cuda_reference_RTM/models/marmousi",
+    },
     # synthetic configs broaden quirk coverage beyond the shipped models:
     # order-4 stencil and asymmetric borders (nxb != nzb)
     "order4_asym": {

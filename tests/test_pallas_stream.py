@@ -96,6 +96,34 @@ def test_rtm_snapshot_tiled_matches_lax_path():
     assert np.abs(got - ref).max() < 1e-5 * scale
 
 
+def test_rtm_full_tiled_matches_lax_path():
+    """Full-wavefield rtm_main flavor through the streaming kernels ==
+    the lax rtm_shot_full (stored swf/rwf, flat-read + nzb-offset
+    injection quirks, reverse-time correlation)."""
+    from parallel_finite_difference_computation_tpu.solver import (
+        rtm_shot_full, rtm_shot_full_tiled)
+    ctx = _ctx(nx=26, nz=34, nt=10, nxb=6, nzb=5)  # nxb != nzb: quirk live
+    rng = np.random.default_rng(4)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    dobs = rng.standard_normal((ctx.nx, ctx.nt)).astype(np.float32)
+    sx, sz, gz = ctx.nxb + 9, ctx.nzb + 2, ctx.nzb + 1
+    for quirk in (True, False):
+        ref = np.asarray(rtm_shot_full(ctx, jnp.asarray(v2), wav,
+                                       jnp.asarray(dobs), sx, sz, gz,
+                                       x_off_quirk=quirk,
+                                       next_shot_first=0.25))
+        got = np.asarray(rtm_shot_full_tiled(ctx, jnp.asarray(v2), wav,
+                                             jnp.asarray(dobs), sx, sz, gz,
+                                             x_off_quirk=quirk,
+                                             next_shot_first=0.25,
+                                             tile_rows=16, interpret=True))
+        scale = max(1.0, np.abs(ref).max())
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-5 * scale
+
+
 def test_gpu_kernels_keep_pads_zero():
     """Regression: tile 0's frame-shifted slot must not leak interior
     values into the slack rows through unmasked outputs (the values would

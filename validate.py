@@ -75,17 +75,24 @@ def config1_stencil():
     t0 = time.time()
     lap = pipeline.run_stencil(p, input_path=inp)
     dt = time.time() - t0
-    # oracle: numpy transcription of kernel_lap on a probe region
-    field = io.read_velocity(inp, p.nxe, p.nze)
+    # oracle: full-field numpy transcription of kernel_lap
+    # (cuda_reference_stencil_computation/fd-source-code.cu:110-135) —
+    # every interior cell compared, in float64 accumulation
+    field = io.read_velocity(inp, p.nxe, p.nze).astype(np.float64)
     cx, cz = numerics.scaled_coefficients(p.order, p.dx, p.dz)
     h = p.order // 2
-    i0, j0 = 50, 60
-    acc = sum(cz[io_] * field[i0, j0 + io_ - h] + cx[io_] * field[i0 + io_ - h, j0]
-              for io_ in range(p.order + 1))
-    err = abs(float(lap[i0, j0]) - float(acc))
-    ok = err < 1e-4 and np.isfinite(lap).all()
+    expect = np.zeros_like(field)
+    for io_ in range(p.order + 1):
+        expect[h:-h, h:-h] += (
+            cz[io_] * field[h:-h, io_:io_ + field.shape[1] - 2 * h]
+            + cx[io_] * field[io_:io_ + field.shape[0] - 2 * h, h:-h])
+    got = np.asarray(lap, np.float64)[h:-h, h:-h]
+    err = float(np.abs(got - expect[h:-h, h:-h]).max())
+    scale = float(np.abs(expect).max()) or 1.0
+    ok = err / scale < 1e-6 and np.isfinite(lap).all()
     record("1. stencil (415x295 input.bin)", "PASS" if ok else "FAIL",
-           f"probe err {err:.2e}", f"{dt:.2f}s incl compile")
+           f"full-field max rel err {err / scale:.2e}",
+           f"{dt:.2f}s incl compile, {got.shape[0]}x{got.shape[1]} interior")
 
 
 def config2_modeling():
@@ -177,8 +184,16 @@ def config6_gpu_oracle(quick=False):
     import tempfile
     from parallel_finite_difference_computation_tpu.utils.oracle import (
         gpu_goldens)
-    names = ["3lay_gpu", "1lay"] + ([] if quick else ["new_mod"])
-    for name in names:
+    runs = [("3lay_gpu", "auto"), ("1lay", "lax")]
+    if not quick:
+        # marmousi: the flagship GPU-suite model at full configuration
+        # (369x375, nt=3004, dz=8 != dx=25) — gated on the lax path
+        # everywhere and additionally on the strict whole-shot Pallas
+        # path on the real chip (VERDICT r2 items 2)
+        runs += [("new_mod", "lax"), ("marmousi", "lax")]
+        if jax.devices()[0].platform == "tpu":
+            runs += [("marmousi", "pallas")]
+    for name, backend in runs:
         try:
             paths = gpu_goldens(name)
         except FileNotFoundError as e:
@@ -186,7 +201,6 @@ def config6_gpu_oracle(quick=False):
                    "reference artifact missing", str(e)[:40])
             continue
         p = pfdc.parse_input_dat(str(paths["input_parity"]))
-        backend = "auto" if name == "3lay_gpu" else "lax"
         with tempfile.TemporaryDirectory() as td:
             img, imlocs = pipeline.run_rtm_gpu(p, backend=backend,
                                                outdir=td,
@@ -240,6 +254,47 @@ def config6_gpu_oracle(quick=False):
         record("6b. split fd_forward/fd_back Pallas kernels vs oracle (TPU)",
                "PASS" if r < GATE else "FAIL", f"shot 0 rel RMS {r:.2e}",
                "compiled Mosaic, 3lay full config")
+
+
+def config6c_upstream_norms():
+    """The one upstream-recorded run value that can be checked:
+    norm_source=74.3729 (cuda_reference_RTM/models/marmousi/input.dat:22)
+    matches the interior L2 of the final backward source-reconstruction
+    field to ~1% (docs/NORMS.md; norm_rev/norm_imloc scale with the
+    missing dado_teste.bin and are documented negative results)."""
+    if jax.devices()[0].platform != "tpu":
+        record("6c. upstream-recorded norm_source (marmousi)", "SKIP",
+               "TPU-only (marmousi full config)", "docs/NORMS.md")
+        return
+    from parallel_finite_difference_computation_tpu.utils.oracle import (
+        gpu_goldens)
+    from parallel_finite_difference_computation_tpu.solver import (
+        fd_forward, fd_back)
+    try:
+        paths = gpu_goldens("marmousi")
+    except FileNotFoundError as e:
+        record("6c. upstream-recorded norm_source (marmousi)", "SKIP",
+               "reference artifact missing", str(e)[:40])
+        return
+    p = pfdc.parse_input_dat(str(paths["input_parity"]))
+    g = p.geometry()
+    vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+    vel2 = pipeline.prepare_velocities_gpu(p, vp)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+    dobs = io.read_shot_gathers(str(paths["dobs"]), p.ns, p.nx, p.nt)
+    ctx = FDContext.from_params(p, exact_taper=True)
+    fwd = jax.jit(fd_forward, static_argnames=("ctx", "capture_step"))
+    fp, fpp = fwd(ctx, jnp.asarray(vel2[0]), wav, g.sx[0], g.sz)
+    _, bp, _, _, _ = fd_back(ctx, jnp.asarray(vel2[0]), fp, fpp,
+                             jnp.asarray(dobs[0]), g.gz, return_fields=True)
+    got = float(np.sqrt((np.asarray(
+        bp, np.float64)[p.nxb:-p.nxb, p.nzb:-p.nzb] ** 2).sum()))
+    want = 74.3729
+    rel = abs(got - want) / want
+    record("6c. upstream-recorded norm_source (marmousi)",
+           "PASS" if rel < 0.15 else "FAIL",
+           f"interior L2 {got:.2f} vs recorded {want} ({rel * 100:.1f}%)",
+           "norm_rev/norm_imloc: negative result, docs/NORMS.md")
 
 
 def config7_rtm_main_multishot():
@@ -362,6 +417,7 @@ def main():
     config4_checkpointed()
     config5_domain_division(quick=args.quick)
     config6_gpu_oracle(quick=args.quick)
+    config6c_upstream_norms()
     config7_rtm_main_multishot()
     config8_spluto()
     config9_pluto_scale()
