@@ -9,7 +9,6 @@ import os
 # Note: the environment's sitecustomize imports jax at interpreter start, so
 # the env var alone is too late — use jax.config as well.
 _platform = os.environ.get("PFDC_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +16,21 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", _platform)
+if _platform == "tpu":
+    # compiled-Mosaic lane: run on the ambient accelerator. The tunneled
+    # dev chip registers as the experimental 'axon' platform (its devices
+    # still report .platform == 'tpu'), so do NOT force JAX_PLATFORMS=tpu
+    # (that would try to init a local libtpu and fail with "no jellyfish
+    # device"); leave the ambient platform resolution alone. Compile cache
+    # keeps reruns cheap through the remote-compile tunnel.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+else:
+    os.environ["JAX_PLATFORMS"] = _platform
+    jax.config.update("jax_platforms", _platform)
 
 import pathlib
 import sys

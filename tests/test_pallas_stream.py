@@ -163,3 +163,27 @@ def test_gpu_kernels_keep_pads_zero():
                               interpret=True)
     for out in outs:
         assert leak(out) == 0.0
+
+
+def test_streaming_step_compiled_on_tpu():
+    """Compiled-Mosaic parity for the streaming kernel (the CPU lane only
+    exercises interpret mode; this runs in the PFDC_TEST_PLATFORM=tpu lane
+    on the real chip and skips elsewhere)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("compiled Mosaic path needs a TPU")
+    ctx = _ctx(nx=40, nz=48, nt=8)
+    rng = np.random.default_rng(7)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    sx, sz, gz = ctx.nxb + 10, ctx.nzb + 3, ctx.nzb + 1
+    p1, pp1, rec1 = forward_modeling(ctx, jnp.asarray(v2), wav, sx, sz, gz,
+                                     source="gaussian", taper="all",
+                                     record="trace")
+    p2, pp2, rec2 = forward_modeling_tiled(ctx, jnp.asarray(v2), wav,
+                                           sx, sz, gz, source="gaussian",
+                                           tile_rows=16, interpret=False)
+    scale = max(1.0, float(np.abs(np.asarray(rec1)).max()))
+    assert np.abs(np.asarray(rec2) - np.asarray(rec1)).max() < 1e-5 * scale
+    fscale = max(1.0, float(np.abs(np.asarray(p1)).max()))
+    assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-5 * fscale
