@@ -98,10 +98,10 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
     instead of leapfrogging."""
     if seed:
         (snap0_ref, snap1_ref, p_in, pp_in, pr_in, ppr_in,
-         p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V) = refs
+         p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V, IM) = refs
     else:
         (p_in, pp_in, pr_in, ppr_in,
-         p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V) = refs
+         p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V, IM) = refs
     dt2 = jnp.float32(ctx.dt2)
     cz = [float(v) for v in ctx.coefs_z]
     cx = [float(v) for v in ctx.coefs_x]
@@ -111,7 +111,12 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
     Y[:, :] = pp_in[:, :]
     U[:, :] = pr_in[:, :]
     V[:, :] = ppr_in[:, :]
-    im_ref[:, :] = jnp.zeros_like(im_ref)
+    # accumulate the K6 product over the FULL halo-extended width (lane-
+    # aligned ops) and lane-slice ONCE per block — a per-step [H:H+nxl]
+    # slice of both factors costs two unaligned lane-shift passes per step
+    # (measured ~2x on the backward block); the halo lanes' products are
+    # garbage but are discarded by the single final slice
+    IM[:, :] = jnp.zeros_like(IM)
 
     for k in range(K):
         dst_s, src_s = (Y, X) if k % 2 == 0 else (X, Y)
@@ -131,7 +136,7 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
                        * laplacian(sm, cz, cx, ctx.order))
         src_r[:, :] = sm
         dst_r[gz:gz + 1, :] += dobs_ref[k:k + 1, :]
-        im_ref[:, :] += dst_s[:, ctr] * dst_r[:, ctr]
+        IM[:, :] += dst_s[:, :] * dst_r[:, :]
 
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
     rU, rV = (U, V) if K % 2 == 0 else (V, U)
@@ -139,6 +144,7 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
     pp_out[:, :] = pY[:, ctr]
     pr_out[:, :] = rU[:, ctr]
     ppr_out[:, :] = rV[:, ctr]
+    im_ref[:, :] = IM[:, ctr]
 
 
 def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
@@ -324,7 +330,7 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     cp = _compiler_params()
 
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
-    scratch4 = [pltpu.VMEM((ctx.nze, nxw), jnp.float32)] * 4
+    scratch_w = [pltpu.VMEM((ctx.nze, nxw), jnp.float32)]
 
     def _fwd_call(k_steps):
         kern = functools.partial(_fwd_block_kernel, ctx, sz, k_steps, nxl, H)
@@ -334,7 +340,7 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            scratch_shapes=scratch4[:2],
+            scratch_shapes=scratch_w * 2,
             compiler_params=cp,
             interpret=interpret,
         )
@@ -347,7 +353,7 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
             kern,
             out_shape=(slab,) * 5,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-            scratch_shapes=scratch4,
+            scratch_shapes=scratch_w * 5,  # X, Y, U, V, IM (full-width)
             compiler_params=cp,
             interpret=interpret,
         )
