@@ -165,6 +165,62 @@ def bench_rtm_domain_pallas(n_x: int = 1, block_k: int = 8):
     return _prof_timeit(make, fn, warmup=2, iters=3)
 
 
+def bench_rtm_domain_pallas_slope(n_x: int = 1, block_k: int = 8,
+                                  nts=(501, 4501)):
+    """Sustained per-step cost of the domain-decomposed blocked kernel vs the
+    whole-shot kernel, with the fixed dispatch/tunnel cost cancelled by the
+    slope between two nt values (3lay-shaped 151x151 grid, synthetic
+    operands; correctness is gated in validate.py / tests).
+
+    Returns (domain_us_per_step, wholeshot_us_per_step). The residual ratio
+    is structural: the domain block computes on the halo-extended width
+    nxw = nxl + 2*K*order/2 (231+64=295 -> 3 vregs of 128 lanes at n_x=1)
+    while the whole-shot kernel uses 231 -> 2 vregs, a 3/2 VPU-work floor.
+    """
+    import dataclasses
+    from parallel_finite_difference_computation_tpu.parallel import (
+        make_mesh, embed_dobs)
+    from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
+        import make_sharded_rtm_snapshot_pallas
+    from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+        rtm_snapshot_pallas)
+    mesh = make_mesh(n_shot=1, n_x=n_x)
+    p0, vp, _ = _load_3lay()
+    base = pipeline.prepare_velocity_cpu(p0, vp)
+    rng = np.random.default_rng(0)
+
+    def measure(make_fn_and_args):
+        ts = {}
+        for nt in nts:
+            p = dataclasses.replace(p0, nt=nt)
+            ctx = FDContext.from_params(p, exact_taper=False)
+            g = p.geometry()
+            wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                                      truncated=True))
+            dobs = rng.standard_normal((p.nx, p.nt)).astype(np.float32)
+            fn, mk = make_fn_and_args(ctx, g, wav, dobs)
+            ts[nt] = _prof_timeit(mk, fn, warmup=2, iters=5)
+        return (ts[nts[1]] - ts[nts[0]]) / (nts[1] - nts[0]) * 1e6
+
+    def domain(ctx, g, wav, dobs):
+        fn = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
+                                              block_k=block_k)
+        d_ext = jax.device_put(embed_dobs(ctx, dobs[None]))
+        sxs = jax.device_put(np.asarray([g.sx[0]], np.int32))
+        v2s = [jax.device_put(np.stack([base * (1 + 1e-7 * i)]))
+               for i in range(-4, 6)]
+        return fn, lambda i: (v2s[i + 4], sxs, wav, d_ext)
+
+    def wholeshot(ctx, g, wav, dobs):
+        d0 = jnp.asarray(dobs)
+        fn = jax.jit(lambda v, c=ctx, w=wav: rtm_snapshot_pallas(
+            c, v, w, d0, g.sx[0], g.sz, g.gz))
+        v2s = [jax.device_put(base * (1 + 1e-7 * i)) for i in range(-4, 6)]
+        return fn, lambda i: (v2s[i + 4],)
+
+    return measure(domain), measure(wholeshot)
+
+
 def bench_marmousi_pallas():
     """Flagship-scale whole-shot Pallas RTM (marmousi GPU-suite config,
     409x455 extended, nt=3004). Compile takes many minutes through the
@@ -454,6 +510,17 @@ def _main_body():
             details["rtm_3lay_domain_pallas_nx1_s_per_shot"] = t_dom
         except Exception as e:
             details["rtm_3lay_domain_pallas_error"] = str(e)[:200]
+        try:
+            # sustained (RTT-cancelled) per-step comparison: the single-
+            # dispatch number above carries the fixed ~26-35 ms tunnel RTT,
+            # which at nt=1001 inflates the domain/whole-shot ratio ~7x;
+            # the nt-slope is the honest per-chip efficiency figure
+            us_dom, us_ws = bench_rtm_domain_pallas_slope()
+            details["rtm_3lay_domain_pallas_nx1_us_per_step_slope"] = us_dom
+            details["rtm_3lay_wholeshot_pallas_us_per_step_slope"] = us_ws
+            details["rtm_3lay_domain_vs_wholeshot_step_ratio"] = us_dom / us_ws
+        except Exception as e:
+            details["rtm_3lay_domain_slope_error"] = str(e)[:200]
         t_headline = t_pallas
         if t_pallas > FLOOR_RTM_PALLAS_S:
             floors.append(f"rtm pallas {t_pallas:.4f}s > {FLOOR_RTM_PALLAS_S}")
