@@ -41,11 +41,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stencil import laplacian
-from ..ops.pallas_fd import _compiler_params
+from ..ops.pallas_fd import _STACK_GRIDS, vmem_params
 from ..solver import FDContext
 
 __all__ = ["make_sharded_rtm_snapshot_pallas",
            "make_sharded_forward_modeling_pallas", "halo_exchange_lanes"]
+
+
+def _block_vmem_params(ctx: FDContext, nxw: int, n_bufs: int):
+    """Scoped-VMEM permission for a blocked domain kernel, derived the same
+    way as the whole-shot kernels' `_vmem_plan`: every operand/output/
+    scratch buffer is at most an (nze, nxw) f32 slab, so the working set is
+    bounded by ``n_bufs`` such slabs plus the Mosaic stack-tile margin.
+    A fixed 32 MiB permission OOMs the compiler's scoped-vmem stack on
+    deep or wide slabs (observed: nze=2000, nxw=295, 19 buffers -> 43 MiB
+    needed)."""
+    return vmem_params(ctx.nze * nxw * 4 * (n_bufs + _STACK_GRIDS))
 
 
 def halo_exchange_lanes(field, H: int, axis_name: str, n_shards: int):
@@ -213,7 +224,7 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
     mask_glob = jnp.asarray(np.pad(
         np.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
         ((0, nxe_pad - ctx.nxe), (0, 0))))
-    cp = _compiler_params()
+    cp = _block_vmem_params(ctx, nxw, 10)  # 3 in + 3 out + 2 scratch + margin
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
 
     def _call(k_steps):
@@ -327,7 +338,9 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     nb, tail = divmod(ctx.nt, K)
     mask_glob = jnp.asarray(np.pad(np.asarray(ctx.mask_top),
                                    ((0, nxe_pad - ctx.nxe), (0, 0))))
-    cp = _compiler_params()
+    # fwd: 5 in + 2 out + 2 scratch; bwd(seed): 9 in + 5 out + 5 scratch
+    cp = _block_vmem_params(ctx, nxw, 10)
+    cp_bwd = _block_vmem_params(ctx, nxw, 20)
 
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
     scratch_w = [pltpu.VMEM((ctx.nze, nxw), jnp.float32)]
@@ -354,7 +367,7 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
             out_shape=(slab,) * 5,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
             scratch_shapes=scratch_w * 5,  # X, Y, U, V, IM (full-width)
-            compiler_params=cp,
+            compiler_params=cp_bwd,
             interpret=interpret,
         )
 
