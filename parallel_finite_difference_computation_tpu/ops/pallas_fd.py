@@ -62,11 +62,16 @@ __all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas",
 #    from the estimated working set, not an allocation.
 #  - The working set of a whole-shot kernel is its grid-shaped buffers
 #    (operands + outputs + scratch) plus Mosaic's vector stack for the
-#    unrolled stencil taps, observed at ~12 grid-sized tiles.
+#    unrolled stencil taps. Two measured anchors: the reference configs
+#    (grids <= 409x455) compile within the 32 MiB floor, and a 231x2000
+#    whole-shot RTM kernel needs 56.7 MiB scoped = 6 declared buffers
+#    + ~24 grid-equivalents of stack — so the margin is 24 grid-sized
+#    tiles (the earlier ~12 estimate undershot on wide grids; small
+#    grids are unaffected because the 32 MiB floor dominates there).
 #  - SMEM is ~1 MiB/core and (nt, 1) scalar operands are stored there at
 #    ~512 B per element, so wavelets overflow SMEM around nt ~ 1800.
 _VMEM_PER_CORE = 128 * 1024 * 1024
-_STACK_GRIDS = 12
+_STACK_GRIDS = 24
 _SMEM_BUDGET = 1 << 20
 _SMEM_BYTES_PER_SCALAR = 512
 
