@@ -279,15 +279,35 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     use_tiled = backend == "tiled" or (
         backend == "auto" and jax.devices()[0].platform == "tpu"
         and p.nxe * p.nze > 1_500_000)
+    if use_tiled and mesh is not None:
+        # a sequential lax.map over a shot-sharded axis would gather every
+        # slice back to one device; the streaming tier has no partitionable
+        # per-shot form, so shot meshes run the vmap lax path instead (use
+        # an x mesh to decompose large grids across devices)
+        import warnings
+        warnings.warn("run_rtm_cpu: the tiled tier is single-device "
+                      "sequential; ignoring the shot mesh for tiling and "
+                      "using the partitionable lax path")
+        use_tiled = False
+
+    def shot_lax(sx, d, nx1):
+        return rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz,
+                             next_shot_first=nx1)
+
     if use_tiled:
         from .solver import rtm_shot_full_tiled
         shot = lambda sx, d, nx1: rtm_shot_full_tiled(
             ctx, vel2, wav, d, sx, g.sz, g.gz, next_shot_first=nx1)
     else:
-        shot = lambda sx, d, nx1: rtm_shot_full(
-            ctx, vel2, wav, d, sx, g.sz, g.gz, next_shot_first=nx1)
-    run = jax.jit(lambda sxs, ds, nx1s: jax.lax.map(
-        lambda args: shot(*args), (sxs, ds, nx1s)))
+        shot = shot_lax
+    if mesh is not None:
+        # vmap (not lax.map): a batched program partitions across the
+        # shot-sharded mesh axis; lax.map's per-step dynamic-slice would
+        # serialize it (see run_modeling's identical constraint)
+        run = jax.jit(jax.vmap(shot_lax))
+    else:
+        run = jax.jit(lambda sxs, ds, nx1s: jax.lax.map(
+            lambda args: shot(*args), (sxs, ds, nx1s)))
     # the it=0 flat-read of each shot's last trace crosses into the next
     # shot's first sample in the reference's contiguous dobs block
     # (rtm_main.cpp:202); 0 for the last shot (see solver._injection_rows)
@@ -302,7 +322,21 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
         d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
         nxt_pad, _ = pad_shots(nxt, n_dev)
         sx_in, d_in, nxt_in = distribute_shots(mesh, sx_pad, d_pad, nxt_pad)
-    imlocs = np.asarray(run(sx_in, d_in, nxt_in))[:ns]
+    try:
+        imlocs = np.asarray(run(sx_in, d_in, nxt_in))[:ns]
+    except Exception as e:
+        if backend != "auto" or not use_tiled:
+            raise
+        # auto must degrade, not crash: the tiled Mosaic kernels can fail
+        # to compile on unusual grid/tile combinations — fall back to the
+        # always-working lax whole-grid fusion (same policy as
+        # _run_with_fallback in the other pipelines)
+        import warnings
+        warnings.warn(f"tiled RTM tier failed ({type(e).__name__}: "
+                      f"{str(e)[:200]}); falling back to the lax path")
+        run = jax.jit(lambda sxs, ds, nx1s: jax.lax.map(
+            lambda args: shot_lax(*args), (sxs, ds, nx1s)))
+        imlocs = np.asarray(run(sx_in, d_in, nxt_in))[:ns]
     img = imlocs.sum(axis=0)
     if outdir:
         io.write_image(os.path.join(outdir, "dir.image"), img)

@@ -260,3 +260,37 @@ def rtm_main_goldens(ns: int = 3, force: bool = False,
                        stderr=subprocess.DEVNULL)
     stamp.touch()
     return paths
+
+
+def marmousi_final_fields():
+    """Shared setup for the upstream-norm checks (validate config 6c and
+    ``scripts/check_upstream_norms.py``): run one marmousi shot
+    (oracle-synthesized dobs + ``vel_ext_file`` parity boundaries) through
+    ``fd_forward``/``fd_back`` and return
+    ``(params, ctx, fields)`` where ``fields`` maps
+    fwd_p/fwd_pp/back_p/back_pp/rev_pr/rev_ppr/imloc to device arrays.
+
+    One definition keeps the gate and the diagnostic it cites from
+    diverging (they previously duplicated this ~15-line pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    from .. import config as _config, io, numerics, pipeline
+    from ..solver import FDContext, fd_forward, fd_back
+
+    paths = gpu_goldens("marmousi")
+    p = _config.parse_input_dat(str(paths["input_parity"]))
+    g = p.geometry()
+    vp = io.read_velocity(p.vpfile, p.nx, p.nz)
+    vel2 = pipeline.prepare_velocities_gpu(p, vp)
+    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+    dobs = io.read_shot_gathers(str(paths["dobs"]), p.ns, p.nx, p.nt)
+    ctx = FDContext.from_params(p, exact_taper=True)
+
+    fwd = jax.jit(fd_forward, static_argnames=("ctx", "capture_step"))
+    fp, fpp = fwd(ctx, jnp.asarray(vel2[0]), wav, g.sx[0], g.sz)
+    imloc, bp, bpp, pr, ppr = fd_back(ctx, jnp.asarray(vel2[0]), fp, fpp,
+                                      jnp.asarray(dobs[0]), g.gz,
+                                      return_fields=True)
+    fields = {"fwd_p": fp, "fwd_pp": fpp, "back_p": bp, "back_pp": bpp,
+              "rev_pr": pr, "rev_ppr": ppr, "imloc": imloc}
+    return p, ctx, fields

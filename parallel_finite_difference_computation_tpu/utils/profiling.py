@@ -85,7 +85,14 @@ def roofline_fraction(nbytes: int, seconds: float, device=None) -> float:
 # model; the superseded single-issue model underestimated the hardware
 # by ~2x (it produced recorded "fractions" above 1.0).
 _VPU_REG_LANES = 8 * 128
-_VPU_ISSUE_SLOTS_PER_CYCLE = 2.1  # micro-measured on v5e (PALLAS_NOTES.md)
+# Issue slots per cycle are MEASURED, per device kind; only v5e has been
+# micro-measured here. Other generations fall back to the conservative
+# single-issue model (fractions may then exceed 1.0, which is itself the
+# signal to micro-measure that chip rather than trust the model).
+_VPU_ISSUE_SLOTS = {
+    "TPU v5 lite": 2.1,     # v5e, micro-measured (PALLAS_NOTES.md)
+}
+_VPU_ISSUE_SLOTS_DEFAULT = 1.0
 _CLOCK_GHZ = {
     "TPU v5 lite": 0.94,    # v5e
     "TPU v5": 1.75,         # v5p
@@ -94,12 +101,16 @@ _CLOCK_GHZ = {
 }
 
 
-def _device_clock_ghz(device=None) -> float:
+def _by_device_kind(table, default, device=None):
     d = device or jax.devices()[0]
-    for k, v in _CLOCK_GHZ.items():
+    for k, v in table.items():
         if str(d.device_kind).startswith(k) or str(d).startswith(k):
             return v
-    return 0.94
+    return default
+
+
+def _device_clock_ghz(device=None) -> float:
+    return _by_device_kind(_CLOCK_GHZ, 0.94, device)
 
 
 def stencil_ops_per_cell(order: int) -> int:
@@ -111,11 +122,14 @@ def stencil_ops_per_cell(order: int) -> int:
 
 def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
     """Speed-of-light cell-update rate (cells/s) under the measured VPU
-    issue model: 8x128 vector lanes retiring ~2.1 op-slots per cycle at the
-    device clock (micro-measured in VMEM, docs/PALLAS_NOTES.md). ~57.8
-    GCell/s for the 35-op order-8 Laplacian on v5e, ~49.3 GCell/s for the
-    41-op fused RTM update."""
-    return (_VPU_REG_LANES * _VPU_ISSUE_SLOTS_PER_CYCLE
+    issue model: 8x128 vector lanes retiring the device kind's measured
+    op-slots per cycle (~2.1 on v5e, micro-measured in VMEM,
+    docs/PALLAS_NOTES.md; unmeasured kinds use the single-issue floor).
+    ~57.8 GCell/s for the 35-op order-8 Laplacian on v5e, ~49.3 GCell/s
+    for the 41-op fused RTM update."""
+    slots = _by_device_kind(_VPU_ISSUE_SLOTS, _VPU_ISSUE_SLOTS_DEFAULT,
+                            device)
+    return (_VPU_REG_LANES * slots
             * _device_clock_ghz(device) * 1e9 / ops_per_cell)
 
 

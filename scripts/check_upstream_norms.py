@@ -64,38 +64,14 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    import jax.numpy as jnp
-    import parallel_finite_difference_computation_tpu as pfdc
-    from parallel_finite_difference_computation_tpu import (io, numerics,
-                                                            pipeline)
-    from parallel_finite_difference_computation_tpu.solver import (
-        FDContext, fd_forward, fd_back)
     from parallel_finite_difference_computation_tpu.utils.oracle import (
-        gpu_goldens)
+        marmousi_final_fields)
 
-    paths = gpu_goldens("marmousi")
-    p = pfdc.parse_input_dat(str(paths["input_parity"]))
-    g = p.geometry()
-    vp = io.read_velocity(p.vpfile, p.nx, p.nz)
-    vel2 = pipeline.prepare_velocities_gpu(p, vp)
-    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
-    dobs = io.read_shot_gathers(str(paths["dobs"]), p.ns, p.nx, p.nt)
-    ctx = FDContext.from_params(p, exact_taper=True)
+    # one shared setup with validate.py config 6c (utils/oracle.py) so the
+    # gate and this diagnostic can never diverge
+    p, ctx, fields = marmousi_final_fields()
 
-    fwd = jax.jit(fd_forward, static_argnames=("ctx", "capture_step"))
-    fp, fpp = fwd(ctx, jnp.asarray(vel2[0]), wav, g.sx[0], g.sz)
-    imloc, bp, bpp, pr, ppr = fd_back(ctx, jnp.asarray(vel2[0]), fp, fpp,
-                                      jnp.asarray(dobs[0]), g.gz,
-                                      return_fields=True)
-
-    h = ctx.order // 2
     cand = {}
-    fields = {
-        "fwd_p": fp, "fwd_pp": fpp,           # final forward states (snaps)
-        "back_p": bp, "back_pp": bpp,         # final source-reconstruction
-        "rev_pr": pr, "rev_ppr": ppr,         # final receiver field
-        "imloc": imloc,                        # per-shot image (interior)
-    }
     for name, a in fields.items():
         a = np.asarray(a)
         cand.update(norms(name, a))

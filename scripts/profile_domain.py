@@ -73,7 +73,8 @@ def main():
                               d_ext)
             t = timeit(make, fn, warmup=2, iters=3)
             calls = (ctx.nt + K - 1) // K + 1 + (ctx.nt - K + K - 1) // K
-            nxl = ctx.nxe + (-ctx.nxe) % 1
+            n_x = mesh.shape["x"]
+            nxl = -(-ctx.nxe // n_x)   # padded local slab width
             nxw = nxl + 2 * K * (ctx.order // 2)
             results[K] = (t, calls, nxw)
             print(f"block_k={K:3d}: {t * 1e3:7.2f} ms  "

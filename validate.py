@@ -202,9 +202,18 @@ def config6_gpu_oracle(quick=False):
             continue
         p = pfdc.parse_input_dat(str(paths["input_parity"]))
         with tempfile.TemporaryDirectory() as td:
-            img, imlocs = pipeline.run_rtm_gpu(p, backend=backend,
-                                               outdir=td,
-                                               write_image_num=True)
+            try:
+                img, imlocs = pipeline.run_rtm_gpu(p, backend=backend,
+                                                   outdir=td,
+                                                   write_image_num=True)
+            except Exception as e:
+                # strict backends (pallas) re-raise kernel failures by
+                # design; record FAIL and keep the harness going so the
+                # remaining configs still run and VALIDATION.md is written
+                record(f"6. GPU-suite RTM vs C oracle ({name}, {backend})",
+                       "FAIL", f"{type(e).__name__}: {str(e)[:80]}",
+                       f"ns={p.ns} nt={p.nt} {p.nx}x{p.nz}")
+                continue
             golden = np.fromfile(paths["dir_image"],
                                  np.float32).reshape(p.nx, p.nz)
             gims = np.fromfile(paths["imlocs"],
@@ -256,39 +265,33 @@ def config6_gpu_oracle(quick=False):
                "compiled Mosaic, 3lay full config")
 
 
-def config6c_upstream_norms():
+def config6c_upstream_norms(quick: bool = False):
     """The one upstream-recorded run value that can be checked:
     norm_source=74.3729 (cuda_reference_RTM/models/marmousi/input.dat:22)
     matches the interior L2 of the final backward source-reconstruction
     field to ~1% (docs/NORMS.md; norm_rev/norm_imloc scale with the
     missing dado_teste.bin and are documented negative results)."""
+    if quick:
+        # config 6 keeps marmousi (369x375, nt=3004) out of the quick lane
+        # to bound the compile budget; the same applies here
+        record("6c. upstream-recorded norm_source (marmousi)", "SKIP",
+               "full marmousi config excluded from --quick", "docs/NORMS.md")
+        return
     if jax.devices()[0].platform != "tpu":
         record("6c. upstream-recorded norm_source (marmousi)", "SKIP",
                "TPU-only (marmousi full config)", "docs/NORMS.md")
         return
     from parallel_finite_difference_computation_tpu.utils.oracle import (
-        gpu_goldens)
-    from parallel_finite_difference_computation_tpu.solver import (
-        fd_forward, fd_back)
+        marmousi_final_fields)
     try:
-        paths = gpu_goldens("marmousi")
+        p, ctx, fields = marmousi_final_fields()
     except FileNotFoundError as e:
         record("6c. upstream-recorded norm_source (marmousi)", "SKIP",
                "reference artifact missing", str(e)[:40])
         return
-    p = pfdc.parse_input_dat(str(paths["input_parity"]))
-    g = p.geometry()
-    vp = io.read_velocity(p.vpfile, p.nx, p.nz)
-    vel2 = pipeline.prepare_velocities_gpu(p, vp)
-    wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
-    dobs = io.read_shot_gathers(str(paths["dobs"]), p.ns, p.nx, p.nt)
-    ctx = FDContext.from_params(p, exact_taper=True)
-    fwd = jax.jit(fd_forward, static_argnames=("ctx", "capture_step"))
-    fp, fpp = fwd(ctx, jnp.asarray(vel2[0]), wav, g.sx[0], g.sz)
-    _, bp, _, _, _ = fd_back(ctx, jnp.asarray(vel2[0]), fp, fpp,
-                             jnp.asarray(dobs[0]), g.gz, return_fields=True)
     got = float(np.sqrt((np.asarray(
-        bp, np.float64)[p.nxb:-p.nxb, p.nzb:-p.nzb] ** 2).sum()))
+        fields["back_p"], np.float64)[p.nxb:-p.nxb, p.nzb:-p.nzb]
+        ** 2).sum()))
     want = 74.3729
     rel = abs(got - want) / want
     record("6c. upstream-recorded norm_source (marmousi)",
@@ -417,7 +420,7 @@ def main():
     config4_checkpointed()
     config5_domain_division(quick=args.quick)
     config6_gpu_oracle(quick=args.quick)
-    config6c_upstream_norms()
+    config6c_upstream_norms(quick=args.quick)
     config7_rtm_main_multishot()
     config8_spluto()
     config9_pluto_scale()
