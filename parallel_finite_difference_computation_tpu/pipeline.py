@@ -240,6 +240,14 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
     return data
 
 
+def _tiled_rtm_wins(p: Params) -> bool:
+    """auto-tier choice for ``run_rtm_cpu``: the lax whole-grid fusion wins
+    on small grids; beyond ~1.5 MCell the fused HBM-streaming kernels win
+    (measured 3.7x at pluto scale) and auto routes there on TPU."""
+    return (jax.devices()[0].platform == "tpu"
+            and p.nxe * p.nze > 1_500_000)
+
+
 def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
                 outdir: Optional[str] = None, mesh=None,
@@ -273,12 +281,8 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
             io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
         return img, imlocs
 
-    # tier choice: the lax whole-grid fusion wins on small grids; beyond
-    # ~1.5 MCell the fused HBM-streaming kernels win (measured 3.7x at
-    # pluto scale) and auto routes there on TPU
-    use_tiled = backend == "tiled" or (
-        backend == "auto" and jax.devices()[0].platform == "tpu"
-        and p.nxe * p.nze > 1_500_000)
+    use_tiled = backend == "tiled" or (backend == "auto"
+                                       and _tiled_rtm_wins(p))
     if use_tiled and mesh is not None:
         # a sequential lax.map over a shot-sharded axis would gather every
         # slice back to one device; the streaming tier has no partitionable

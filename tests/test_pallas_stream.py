@@ -187,3 +187,34 @@ def test_streaming_step_compiled_on_tpu():
     assert np.abs(np.asarray(rec2) - np.asarray(rec1)).max() < 1e-5 * scale
     fscale = max(1.0, float(np.abs(np.asarray(p1)).max()))
     assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-5 * fscale
+
+
+def test_rtm_cpu_auto_degrades_when_tiled_fails(monkeypatch):
+    """run_rtm_cpu backend='auto' must fall back to the lax whole-grid
+    fusion when the tiled Mosaic tier fails (same degrade policy as the
+    other pipelines' _run_with_fallback), not crash the run."""
+    import warnings
+    import parallel_finite_difference_computation_tpu as pfdc
+    from parallel_finite_difference_computation_tpu import pipeline, solver
+    from parallel_finite_difference_computation_tpu.models import (
+        layered_model)
+
+    monkeypatch.setattr(pipeline, "_tiled_rtm_wins", lambda p: True)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic compile failure")
+
+    monkeypatch.setattr(solver, "rtm_shot_full_tiled", boom)
+    p = pfdc.Params(nz=16, nx=16, nt=10, dz=10.0, dx=10.0, dt=0.001,
+                    fpeak=25.0, ns=2, sz=0, fsx=2, ds=4, gz=0,
+                    nxb=4, nzb=4, fac=0.7, order=8)
+    vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[8])
+    rng = np.random.default_rng(7)
+    dobs = rng.standard_normal((p.ns, p.nx, p.nt)).astype(np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        img, imlocs = pipeline.run_rtm_cpu(p, vp=vp, dobs=dobs,
+                                           backend="auto")
+    assert any("falling back to the lax path" in str(x.message) for x in w)
+    ref_img, _ = pipeline.run_rtm_cpu(p, vp=vp, dobs=dobs, backend="lax")
+    np.testing.assert_allclose(img, ref_img, rtol=1e-5, atol=1e-6)
