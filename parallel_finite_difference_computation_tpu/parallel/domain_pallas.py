@@ -41,22 +41,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stencil import laplacian
-from ..ops.pallas_fd import _STACK_GRIDS, vmem_params
+from ..ops.pallas_fd import _STACK_GRIDS, _VMEM_PER_CORE, vmem_params
 from ..solver import FDContext
 
 __all__ = ["make_sharded_rtm_snapshot_pallas",
            "make_sharded_forward_modeling_pallas", "halo_exchange_lanes"]
 
 
-def _block_vmem_params(ctx: FDContext, nxw: int, n_bufs: int):
+def _block_vmem_params(ctx: FDContext, nxw: int, n_bufs: int,
+                       interpret: bool = False):
     """Scoped-VMEM permission for a blocked domain kernel, derived the same
     way as the whole-shot kernels' `_vmem_plan`: every operand/output/
     scratch buffer is at most an (nze, nxw) f32 slab, so the working set is
     bounded by ``n_bufs`` such slabs plus the Mosaic stack-tile margin.
     A fixed 32 MiB permission OOMs the compiler's scoped-vmem stack on
     deep or wide slabs (observed: nze=2000, nxw=295, 19 buffers -> 43 MiB
-    needed)."""
-    return vmem_params(ctx.nze * nxw * 4 * (n_bufs + _STACK_GRIDS))
+    needed — slightly under the n_bufs*slab tight bound, which is the
+    fail-fast threshold below).
+
+    Raises early (before a doomed multi-minute Mosaic compile) when even
+    the tight bound cannot fit the core — the remedy for a domain kernel
+    is more x shards (smaller nxl), unlike the whole-shot kernels where it
+    is the tiled/streaming tier."""
+    slab = ctx.nze * nxw * 4
+    tight = slab * n_bufs
+    if tight > _VMEM_PER_CORE and not interpret:
+        raise ValueError(
+            f"blocked domain kernel: {n_bufs} slab buffers of "
+            f"{ctx.nze}x{nxw} f32 need {tight >> 20} MiB, exceeding the "
+            f"{_VMEM_PER_CORE >> 20} MiB core VMEM; use more x shards "
+            f"(smaller local slab) or a smaller block_k")
+    return vmem_params(slab * (n_bufs + _STACK_GRIDS))
 
 
 def halo_exchange_lanes(field, H: int, axis_name: str, n_shards: int):
@@ -224,7 +239,8 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
     mask_glob = jnp.asarray(np.pad(
         np.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
         ((0, nxe_pad - ctx.nxe), (0, 0))))
-    cp = _block_vmem_params(ctx, nxw, 10)  # 3 in + 3 out + 2 scratch + margin
+    cp = _block_vmem_params(ctx, nxw, 10,  # 3 in + 3 out + 2 scratch + margin
+                            interpret=interpret)
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
 
     def _call(k_steps):
@@ -339,8 +355,8 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     mask_glob = jnp.asarray(np.pad(np.asarray(ctx.mask_top),
                                    ((0, nxe_pad - ctx.nxe), (0, 0))))
     # fwd: 5 in + 2 out + 2 scratch; bwd(seed): 9 in + 5 out + 5 scratch
-    cp = _block_vmem_params(ctx, nxw, 10)
-    cp_bwd = _block_vmem_params(ctx, nxw, 20)
+    cp = _block_vmem_params(ctx, nxw, 10, interpret=interpret)
+    cp_bwd = _block_vmem_params(ctx, nxw, 20, interpret=interpret)
 
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
     scratch_w = [pltpu.VMEM((ctx.nze, nxw), jnp.float32)]

@@ -222,6 +222,19 @@ class TestDomainPallas:
         scale = np.abs(ref).max() or 1.0
         np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
 
+    def test_block_vmem_fail_fast(self):
+        """Slabs whose tight buffer bound cannot fit core VMEM are refused
+        up front (the remedy is more x shards), except in interpret mode
+        where no VMEM exists."""
+        import types
+        from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
+            import _block_vmem_params
+        huge = types.SimpleNamespace(nze=2000)
+        with pytest.raises(ValueError, match="more x shards"):
+            _block_vmem_params(huge, 2000, 20)
+        _block_vmem_params(huge, 2000, 20, interpret=True)  # no raise
+        _block_vmem_params(types.SimpleNamespace(nze=231), 80, 20)  # fits
+
     def test_matches_unsharded_even_blocks(self, rng, mesh4):
         self._run(rng, mesh4, nt=40, block_k=4)  # nb=10, no tails
 
