@@ -36,12 +36,17 @@ def _lap_tile(a, cz, cx, order):
     h = order // 2
     rx = a.shape[0] - order
     rz = a.shape[1] - order
-    acz = cz[0] * jax.lax.slice(a, (h, 0), (h + rx, rz))
-    acx = cx[0] * jax.lax.slice(a, (0, h), (rx, h + rz))
-    for io in range(1, order + 1):
-        acz = acz + cz[io] * jax.lax.slice(a, (h, io), (h + rx, io + rz))
-        acx = acx + cx[io] * jax.lax.slice(a, (io, h), (io + rx, h + rz))
-    return acz + acx
+    # symmetric-pair taps (c[h-k] == c[h+k] exactly); association order
+    # matches ops.stencil.laplacian_interior so all tiers stay bit-identical
+    acc = (cz[h] + cx[h]) * jax.lax.slice(a, (h, h), (h + rx, h + rz))
+    for k in range(1, h + 1):
+        zm = jax.lax.slice(a, (h, h - k), (h + rx, h - k + rz))
+        zp = jax.lax.slice(a, (h, h + k), (h + rx, h + k + rz))
+        acc = acc + cz[h + k] * (zm + zp)
+        xm = jax.lax.slice(a, (h - k, h), (h - k + rx, h + rz))
+        xp = jax.lax.slice(a, (h + k, h), (h + k + rx, h + rz))
+        acc = acc + cx[h + k] * (xm + xp)
+    return acc
 
 
 def _kernel(order, nx, tx, tz, chunk_w, n_tz, cz, cx,
@@ -192,15 +197,18 @@ def _lap_taps(a, order, hr, tx, W, cz, cx):
     frame row r+hr; returns the full-width (tx, W) laplacian, un-masked."""
     h = order // 2
     wz = W - order
-    acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
-    for io in range(1, order + 1):
-        acz = acz + cz[io] * jax.lax.slice(a, (hr, io), (hr + tx, io + wz))
     r0 = hr - h
-    acx = cx[0] * jax.lax.slice(a, (r0, h), (r0 + tx, h + wz))
-    for io in range(1, order + 1):
-        acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
-                                           (r0 + io + tx, h + wz))
-    return jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+    # symmetric-pair taps (c[h-k] == c[h+k] exactly); association order
+    # matches ops.stencil.laplacian_interior so all tiers stay bit-identical
+    acc = (cz[h] + cx[h]) * jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    for k in range(1, h + 1):
+        zm = jax.lax.slice(a, (hr, h - k), (hr + tx, h - k + wz))
+        zp = jax.lax.slice(a, (hr, h + k), (hr + tx, h + k + wz))
+        acc = acc + cz[h + k] * (zm + zp)
+        xm = jax.lax.slice(a, (r0 + h - k, h), (r0 + h - k + tx, h + wz))
+        xp = jax.lax.slice(a, (r0 + h + k, h), (r0 + h + k + tx, h + wz))
+        acc = acc + cx[h + k] * (xm + xp)
+    return jnp.pad(acc, ((0, 0), (h, W - wz - h)))
 
 
 def _check_tile_rows(tile_rows, hr):
@@ -289,10 +297,12 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
     kern = functools.partial(_kernel_padded, order, hr, nx, nz, tx, n_tx,
                              R, W, cz, cx)
     from .pallas_fd import vmem_params
-    # measured on the v5e dev chip: actual scoped-vmem usage at tx=64 is
-    # ~33.5 MiB (> the 32 MiB default floor) — budget 2 scratch slots +
-    # out pipeline + ~10 stack tiles so vmem_params rounds up to 48 MiB
-    cp = vmem_params(((2 + 10) * (tx + 2 * hr) * W + 2 * tx * W) * 4)
+    # measured on the v5e dev chip: Mosaic's vector stack for the unrolled
+    # taps scales with W — at W=4224/tx=64 actual scoped-vmem usage is
+    # ~33.9 MiB while a 10-tile estimate rounds to only 32 MiB and OOMs
+    # the compile; budget 2 scratch slots + out pipeline + 24 stack tiles
+    # (the wide-grid anchor from docs/PALLAS_NOTES.md "Round 3")
+    cp = vmem_params(((2 + 24) * (tx + 2 * hr) * W + 2 * tx * W) * 4)
     return pl.pallas_call(
         kern,
         grid=(n_tx,),

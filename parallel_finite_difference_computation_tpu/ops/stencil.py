@@ -28,17 +28,30 @@ def laplacian_interior(p, coefs_x, coefs_z, order: int):
     """Order-``order`` central-difference 2D Laplacian on the interior
     ``[h:nx-h, h:nz-h]`` with premultiplied coefficients — kernel K1
     (``kernel_lap``, ``fd-code.cu:53-78``). Returns the (nx-order, nz-order)
-    interior block; z and x contributions are accumulated separately and then
-    added, matching the CUDA accumulation structure.
+    interior block.
+
+    Symmetric-pair formulation: central-difference coefficients satisfy
+    ``c[h-k] == c[h+k]`` *exactly* (closed-form tables and ``_makeo2``'s
+    mirrored assignment, preserved by the uniform 1/dx^2 scaling), so the
+    taps are computed as ``(cz[h]+cx[h])*center + sum_k cz[h+k]*(zm+zp)
+    + sum_k cx[h+k]*(xm+xp)`` — 3*order+1 vector ops/cell vs the naive
+    4*order+3 (25 vs 35 for order 8), measured 1.33x on the VPU-issue-bound
+    Pallas kernels. Differs from the reference's per-tap accumulation order
+    only by float reassociation (~2.5e-7 relative); every tier in this
+    package uses this exact association order so lax and Pallas paths stay
+    bit-identical to each other.
     """
     nx, nz = p.shape
     h = order // 2
-    acmz = coefs_z[0] * jax.lax.slice(p, (h, 0), (nx - h, nz - order))
-    acmx = coefs_x[0] * jax.lax.slice(p, (0, h), (nx - order, nz - h))
-    for io in range(1, order + 1):
-        acmz = acmz + coefs_z[io] * jax.lax.slice(p, (h, io), (nx - h, nz - order + io))
-        acmx = acmx + coefs_x[io] * jax.lax.slice(p, (io, h), (nx - order + io, nz - h))
-    return acmz + acmx
+    acc = (coefs_z[h] + coefs_x[h]) * jax.lax.slice(p, (h, h), (nx - h, nz - h))
+    for k in range(1, h + 1):
+        zm = jax.lax.slice(p, (h, h - k), (nx - h, nz - h - k))
+        zp = jax.lax.slice(p, (h, h + k), (nx - h, nz - h + k))
+        acc = acc + coefs_z[h + k] * (zm + zp)
+        xm = jax.lax.slice(p, (h - k, h), (nx - h - k, nz - h))
+        xp = jax.lax.slice(p, (h + k, h), (nx - h + k, nz - h))
+        acc = acc + coefs_x[h + k] * (xm + xp)
+    return acc
 
 
 def laplacian(p, coefs_x, coefs_z, order: int):

@@ -73,16 +73,20 @@ def sharded_laplacian(p_local, coefs_x, coefs_z, order: int, nxe: int,
     nxl, nz = p_local.shape
     h = order // 2
     ext = halo_exchange(p_local, h, axis_name, n_shards)
-    # z part (fully local): interior columns only
-    acmz = coefs_z[0] * jax.lax.slice(p_local, (0, 0), (nxl, nz - order))
-    # x part (from halo-extended rows): all local rows, interior columns
-    acmx = coefs_x[0] * jax.lax.slice(ext, (0, h), (nxl, nz - h))
-    for io in range(1, order + 1):
-        acmz = acmz + coefs_z[io] * jax.lax.slice(
-            p_local, (0, io), (nxl, nz - order + io))
-        acmx = acmx + coefs_x[io] * jax.lax.slice(
-            ext, (io, h), (nxl + io, nz - h))
-    interior = acmz + acmx
+    # symmetric-pair taps (c[h-k] == c[h+k] exactly); association order
+    # matches ops.stencil.laplacian_interior so sharded == unsharded bitwise.
+    # The merged center comes from the local rows (ext[h:h+nxl] == p_local);
+    # z pairs are fully local, x pairs read the halo-extended rows.
+    acc = (coefs_z[h] + coefs_x[h]) * jax.lax.slice(
+        p_local, (0, h), (nxl, nz - h))
+    for k in range(1, h + 1):
+        zm = jax.lax.slice(p_local, (0, h - k), (nxl, nz - h - k))
+        zp = jax.lax.slice(p_local, (0, h + k), (nxl, nz - h + k))
+        acc = acc + coefs_z[h + k] * (zm + zp)
+        xm = jax.lax.slice(ext, (h - k, h), (nxl + h - k, nz - h))
+        xp = jax.lax.slice(ext, (h + k, h), (nxl + h + k, nz - h))
+        acc = acc + coefs_x[h + k] * (xm + xp)
+    interior = acc
     lap = jnp.pad(interior, ((0, 0), (h, h)))
     return lap * _row_interior_mask(nxe, nxl, h, axis_name)
 

@@ -114,10 +114,12 @@ def _device_clock_ghz(device=None) -> float:
 
 
 def stencil_ops_per_cell(order: int) -> int:
-    """Vector-op count per output cell of the order-``order`` Laplacian with
-    premultiplied coefficients: (order+1) multiplies + order adds per axis,
-    plus the final combine — ``4*order + 3`` (35 for order 8)."""
-    return 4 * order + 3
+    """Vector-op count per output cell of the order-``order`` Laplacian as
+    implemented (symmetric-pair taps, ``ops.stencil.laplacian_interior``):
+    one merged-center multiply plus, per axis, ``order/2`` pairs each
+    costing pair-add + multiply + accumulate — ``3*order + 1`` (25 for
+    order 8; the naive per-tap accumulation costs ``4*order + 3`` = 35)."""
+    return 3 * order + 1
 
 
 def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
@@ -125,8 +127,8 @@ def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
     issue model: 8x128 vector lanes retiring the device kind's measured
     op-slots per cycle (~2.1 on v5e, micro-measured in VMEM,
     docs/PALLAS_NOTES.md; unmeasured kinds use the single-issue floor).
-    ~57.8 GCell/s for the 35-op order-8 Laplacian on v5e, ~49.3 GCell/s
-    for the 41-op fused RTM update."""
+    ~80.9 GCell/s for the 25-op symmetric-pair order-8 Laplacian on v5e,
+    ~65.2 GCell/s for the 31-op fused RTM update."""
     slots = _by_device_kind(_VPU_ISSUE_SLOTS, _VPU_ISSUE_SLOTS_DEFAULT,
                             device)
     return (_VPU_REG_LANES * slots

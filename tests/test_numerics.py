@@ -62,6 +62,18 @@ class TestCoefficients:
         with pytest.raises(ValueError):
             numerics.fd_coefficients(5)
 
+    def test_exact_symmetry_all_orders(self):
+        # the symmetric-pair tap formulation (ops.stencil.laplacian_interior
+        # and every pallas tier) computes c[h+k]*(p[-k]+p[+k]) and therefore
+        # requires c[h-k] == c[h+k] BITWISE, both raw and premultiplied by
+        # the (uniform) 1/dx^2 scaling
+        for order in (2, 4, 6, 8, 10, 12, 16):
+            c = numerics.fd_coefficients(order)
+            np.testing.assert_array_equal(c, c[::-1])
+            cx, cz = numerics.scaled_coefficients(order, dx=25.0, dz=8.0)
+            np.testing.assert_array_equal(cx, cx[::-1])
+            np.testing.assert_array_equal(cz, cz[::-1])
+
     def test_scaled(self):
         cx, cz = numerics.scaled_coefficients(8, dx=25.0, dz=8.0)
         c = numerics.fd_coefficients(8)

@@ -140,8 +140,14 @@ class TestMosaicMemoryModel:
         got = rtm_snapshot_pallas(ctx, v2, wav, dobs, 10, 5, 5,
                                   interpret=True)
         ref = rtm_shot_snapshot(ctx, v2, wav, dobs, 10, 5, 5)
+        # lax and pallas-interpret are differently-structured XLA:CPU
+        # programs of the same formula; their f32 rounding drifts apart
+        # over ~1790 leapfrog steps (measured 4.1e-4 max rel on this
+        # config with the symmetric-pair taps; both are ~1 ulp/apply vs
+        # float64). Compiled-TPU parity is gated much tighter in
+        # validate.py configs 2-6.
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-3, atol=1e-4)
 
     def test_vmem_overflow_raises_before_compile(self, rng):
         """A config whose working set exceeds core VMEM fails fast with a
