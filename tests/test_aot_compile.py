@@ -1,0 +1,186 @@
+"""Offline compiled-Mosaic checks via the PJRT TPU AOT topology.
+
+JAX can AOT-compile for a TPU topology with the locally installed libtpu
+and *compile-only* devices — no TPU hardware attached
+(``jax.experimental.topologies``). This lane catches Mosaic lowering and
+layout regressions that interpret mode cannot see (vector-stack scoped-VMEM
+OOMs, unimplemented ``tpu.concatenate`` layout cases, window/layout
+assignment), from the plain CPU test environment.
+
+Scope note: this compiles with the *local* libtpu's Mosaic. A chip-side
+serving stack can run a different compiler version (the dev tunnel's
+rejected an offset-carrying concat that libtpu 0.0.34 accepts), so the
+on-chip ``validate.py``/``bench.py`` gates remain authoritative for the
+deployed path; this lane is the regression net that needs no chip.
+
+Sizes mirror the validated configs where cheap (231-extended grids, the
+shape class of ``3lay``), with tiny ``nt`` — Mosaic kernel IR is
+``nt``-independent (``fori_loop`` bodies compile once).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from parallel_finite_difference_computation_tpu import numerics
+from parallel_finite_difference_computation_tpu.solver import FDContext
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PFDC_SKIP_AOT") == "1",
+    reason="AOT compile lane disabled via PFDC_SKIP_AOT=1")
+
+
+@pytest.fixture(scope="module")
+def tpu_sharding():
+    """Single compile-only v5e device sharding, or skip if no local libtpu."""
+    try:
+        from jax.experimental import topologies
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        topo = topologies.get_topology_desc(
+            "v5e:1x1x1", "tpu", chips_per_host_bounds=[1, 1, 1])
+        mesh = topologies.make_mesh(topo, (1,), ("d",))
+        return NamedSharding(mesh, P())
+    except Exception as e:  # no local libtpu / unsupported jaxlib
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+
+
+def _aot(sharding, fn, *args):
+    """Lower ``fn`` at the args' shapes for the TPU topology and run the
+    full XLA+Mosaic compile. Returns the compiled executable (unused —
+    compiling without error IS the assertion)."""
+    sds = [jax.ShapeDtypeStruct(jnp.asarray(a).shape, jnp.asarray(a).dtype,
+                                sharding=sharding) for a in args]
+    return jax.jit(fn).lower(*sds).compile()
+
+
+def _ctx(nt=8, nx=199, nz=199, nxb=16, nzb=16):
+    # nxe = nze = 231: the 3lay shape class (non-multiple of 8/128 lanes)
+    return FDContext.create(nx, nz, nt, dx=10.0, dz=10.0, dt=0.001,
+                            order=8, nxb=nxb, nzb=nzb, fac=0.7)
+
+
+@pytest.fixture(scope="module")
+def small(rng_mod):
+    ctx = _ctx()
+    v2 = jnp.asarray(
+        (1500.0 + 500.0 * rng_mod.random((ctx.nxe, ctx.nze))) ** 2,
+        jnp.float32)
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+    return ctx, v2, wav
+
+
+@pytest.fixture(scope="module")
+def rng_mod():
+    return np.random.default_rng(7)
+
+
+class TestWholeShotKernels:
+    def test_rtm_snapshot(self, tpu_sharding, small):
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            rtm_snapshot_pallas)
+        ctx, v2, wav = small
+        dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
+        _aot(tpu_sharding,
+             lambda v2, wav, dobs, sx: rtm_snapshot_pallas(
+                 ctx, v2, wav, dobs, sx, 5, 5),
+             v2, wav, dobs, jnp.int32(40))
+
+    def test_forward_modeling(self, tpu_sharding, small):
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            forward_modeling_pallas)
+        ctx, v2, wav = small
+        _aot(tpu_sharding,
+             lambda v2, wav, sx: forward_modeling_pallas(
+                 ctx, v2, wav, sx, 5, 5),
+             v2, wav, jnp.int32(40))
+
+    def test_split_fwd_bwd(self, tpu_sharding, small):
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            fd_forward_pallas, fd_back_pallas)
+        ctx, v2, wav = small
+        dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
+        snap = jnp.zeros((ctx.nxe, ctx.nze), jnp.float32)
+        _aot(tpu_sharding,
+             lambda v2, wav, sx: fd_forward_pallas(ctx, v2, wav, sx, 5),
+             v2, wav, jnp.int32(40))
+        _aot(tpu_sharding,
+             lambda v2, p, pp, dobs: fd_back_pallas(ctx, v2, p, pp, dobs, 5),
+             v2, snap, snap, dobs)
+
+
+class TestStencilKernels:
+    def test_tiled(self, tpu_sharding, rng_mod):
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import laplacian_pallas
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        p = jnp.asarray(rng_mod.standard_normal((415, 295)), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p: laplacian_pallas(p, list(map(float, cx)),
+                                        list(map(float, cz)), 8), p)
+
+    def test_padded(self, tpu_sharding, rng_mod):
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import laplacian_pallas_padded, padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nx = nz = 231
+        R, W, _, _ = padded_layout(nx, nz, 8)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p: laplacian_pallas_padded(p, cx, cz, 8, nx, nz), p)
+
+
+class TestMultiChip:
+    def test_domain_rtm_8chip(self, rng_mod):
+        """AOT-compile the shot+x-domain RTM (shard_map + ppermute halo
+        exchange + blocked Mosaic kernels) for a 2x4 v5e slice — the real
+        TPU lowering of the multi-chip path, vs the dryrun's CPU mesh."""
+        try:
+            from jax.experimental import topologies
+            topo = topologies.get_topology_desc("v5e:2x4x1", "tpu")
+        except Exception as e:
+            pytest.skip(f"TPU AOT topology unavailable: {e}")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_mesh)
+        from parallel_finite_difference_computation_tpu.parallel.\
+            domain_pallas import make_sharded_rtm_snapshot_pallas
+
+        n_shot, n_x = 2, 4
+        mesh = make_mesh(n_shot=n_shot, n_x=n_x, devices=list(topo.devices))
+        nxb = nzb = 8
+        nxe = n_x * 8 * 2                      # 64: divisible, h-roomy slabs
+        ctx = FDContext.create(nxe - 2 * nxb, 16, 8, dx=10.0, dz=10.0,
+                               dt=0.001, order=8, nxb=nxb, nzb=nzb, fac=0.7)
+        ns = 2 * n_shot
+        fn = make_sharded_rtm_snapshot_pallas(ctx, mesh, sz=nzb + 2,
+                                              gz=nzb + 1, block_k=2)
+        sds = [
+            jax.ShapeDtypeStruct((ns, ctx.nxe, ctx.nze), jnp.float32,
+                                 sharding=NamedSharding(mesh, P("shot", "x"))),
+            jax.ShapeDtypeStruct((ns,), jnp.int32,
+                                 sharding=NamedSharding(mesh, P("shot"))),
+            jax.ShapeDtypeStruct((ctx.nt,), jnp.float32,
+                                 sharding=NamedSharding(mesh, P())),
+            jax.ShapeDtypeStruct((ns, ctx.nxe, ctx.nt), jnp.float32,
+                                 sharding=NamedSharding(mesh, P("shot", "x"))),
+        ]
+        jax.jit(fn).lower(*sds).compile()
+
+
+class TestStreamingKernels:
+    def test_fd_step_padded(self, tpu_sharding, rng_mod):
+        from parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            import fd_step_padded
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nxe = nze = 231
+        R, W, _, _ = padded_layout(nxe, nze, 8)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        mask = jnp.ones((R, W), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p, pp, v2, m: fd_step_padded(
+                 p, pp, v2, m, cx, cz, 8, nxe, nze, 1e-6), p, p, p, mask)
