@@ -35,8 +35,13 @@ The full-wavefield rtm_main variant stays on the lax path
 (:func:`..solver.rtm_shot_full`) — storing nt full wavefields is inherently
 HBM-bound and XLA already streams it well.
 
-Numerics are identical to the lax path (same slice-accumulation order); the
-unit tests compare them elementwise.
+Numerics are identical to the lax path: the pad-free
+:func:`..stencil.laplacian_full` applies the same symmetric-pair taps in the
+same association order on interior cells, and the zero border comes from the
+pre-masked ``v2`` operand (:func:`_v2_operand`) instead of an in-kernel
+``jnp.pad`` (whose ``tpu.concatenate`` lowering some deployed Mosaic
+versions reject for offset-carrying operands). The unit tests compare the
+paths elementwise.
 """
 
 from __future__ import annotations
@@ -49,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import laplacian
+from .stencil import lap_interior_mask, laplacian_full
 from ..solver import FDContext
 
 __all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas",
@@ -128,6 +133,16 @@ def _compiler_params():
     return vmem_params(0)
 
 
+def _v2_operand(ctx: FDContext, v2):
+    """z-major ``v2`` kernel operand with the Laplacian interior mask folded
+    in: the kernels compute the pad-free :func:`..stencil.laplacian_full`
+    (wrapped garbage within h of every edge) and ``v2m * lap_full`` equals
+    ``v2 * lap_zero_bordered`` exactly — zero in-kernel cost and no
+    ``tpu.concatenate`` for Mosaic to reject."""
+    return jnp.transpose(v2) * jnp.asarray(
+        lap_interior_mask(ctx.nze, ctx.nxe, ctx.order))
+
+
 def _coefs(ctx: FDContext):
     """Premultiplied coefficients as python floats (compile-time constants;
     pallas kernels cannot capture array-valued constants). Returned in
@@ -173,7 +188,7 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
         — value-level scatter-add does not lower on TPU."""
         p = src_buf[:, :]
         upd = (2.0 * p - dst_buf[:, :]
-               + v2_ref[:, :] * dt2 * laplacian(p, cz, cx, order))
+               + v2_ref[:, :] * dt2 * laplacian_full(p, cz, cx, order))
         amp = wav_ref[it, 0]
         dst_buf[:, :] = upd * mask_ref[:, :]
         band = slice(sz - r, sz + r + 1)
@@ -241,7 +256,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
         compiler_params=_vmem_plan(ctx, 6, ctx.nt * ctx.nx * 4, interpret,
                                    "forward_modeling_pallas"),
         interpret=interpret,
-    )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
+    )(_v2_operand(ctx, v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
     return jnp.transpose(p), jnp.transpose(pp), seis
 
 
@@ -272,7 +287,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     def leap(dst, src):
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(s, cz, cx, order))
+                     + v2_ref[:, :] * dt2 * laplacian_full(s, cz, cx, order))
 
     # ---------------- forward ----------------
     A[:, :] = jnp.zeros_like(A)
@@ -284,7 +299,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
         # as taper-then-update, so results are bitwise identical)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
@@ -313,7 +328,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     def rstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         # receiver row add at interior lanes [nxb, nxb+nx) (kernel_sism)
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
@@ -379,7 +394,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
         compiler_params=_vmem_plan(ctx, 7, ctx.nt * ctx.nx * 4, interpret,
                                    "rtm_snapshot_pallas"),
         interpret=interpret,
-    )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
+    )(_v2_operand(ctx, v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
       src_rows, dobs_tx)
     interior = imloc_ext[ctx.nzb:ctx.nze - ctx.nzb,
                          ctx.nxb:ctx.nxe - ctx.nxb]
@@ -405,7 +420,7 @@ def _fwd_gpu_kernel(ctx: FDContext, sz: int,
     def fstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
@@ -435,7 +450,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     def leap(dst, src):
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(s, cz, cx, order))
+                     + v2_ref[:, :] * dt2 * laplacian_full(s, cz, cx, order))
 
     snapP, snapPP = A, B
     snapP[:, :] = snapP_in[:, :]
@@ -447,7 +462,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     def rstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian(sm, cz, cx, order))
+                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 
@@ -502,7 +517,7 @@ def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
         compiler_params=_vmem_plan(ctx, 6, 0, interpret,
                                    "fd_forward_pallas"),
         interpret=interpret,
-    )(jnp.transpose(v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
+    )(_v2_operand(ctx, v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
     return jnp.transpose(p), jnp.transpose(pp)
 
 
@@ -534,7 +549,7 @@ def fd_back_pallas(ctx: FDContext, v2, snap_p, snap_pp, dobs, gz: int,
         compiler_params=_vmem_plan(ctx, 9, ctx.nt * ctx.nx * 4, interpret,
                                    "fd_back_pallas"),
         interpret=interpret,
-    )(jnp.transpose(v2), mask, jnp.transpose(snap_p),
+    )(_v2_operand(ctx, v2), mask, jnp.transpose(snap_p),
       jnp.transpose(snap_pp), dobs_tx)
     interior = imloc_ext[ctx.nzb:ctx.nze - ctx.nzb,
                          ctx.nxb:ctx.nxe - ctx.nxb]

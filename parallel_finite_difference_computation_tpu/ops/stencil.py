@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "laplacian_interior", "laplacian", "leapfrog",
-    "apply_taper", "inject_point", "inject_gaussian",
+    "laplacian_interior", "laplacian", "laplacian_full", "lap_interior_mask",
+    "leapfrog", "apply_taper", "inject_point", "inject_gaussian",
     "inject_receivers", "imaging_correlation",
 ]
 
@@ -63,6 +63,36 @@ def laplacian(p, coefs_x, coefs_z, order: int):
     h = order // 2
     interior = laplacian_interior(p, coefs_x, coefs_z, order)
     return jnp.pad(interior, ((h, h), (h, h)))
+
+
+def laplacian_full(p, coefs_x, coefs_z, order: int):
+    """Full-grid symmetric-pair Laplacian via static rolls — no pad/concat,
+    so Mosaic never sees an offset-carrying ``tpu.concatenate`` (the
+    merged-center accumulation gives the interior value a nonzero vpad
+    offset, which some deployed Mosaic versions cannot pad). Cells within
+    ``h`` of any edge read wrapped neighbours and are INVALID; callers must
+    zero them, which every Pallas kernel gets for free by pre-masking its
+    ``v2`` operand (:func:`lap_interior_mask`) — exact because the kernels
+    consume the Laplacian only as ``v2*dt2*lap``. Interior cells see
+    bit-identical operand values and association order to
+    :func:`laplacian_interior`."""
+    h = order // 2
+    acc = (coefs_z[h] + coefs_x[h]) * p
+    for k in range(1, h + 1):
+        acc = acc + coefs_z[h + k] * (jnp.roll(p, k, 1) + jnp.roll(p, -k, 1))
+        acc = acc + coefs_x[h + k] * (jnp.roll(p, k, 0) + jnp.roll(p, -k, 0))
+    return acc
+
+
+def lap_interior_mask(nx: int, nz: int, order: int):
+    """(nx, nz) float32 numpy mask of the Laplacian interior
+    ``[h:nx-h, h:nz-h]`` — multiplied into the ``v2`` kernel operand so
+    ``v2m * laplacian_full(p)`` equals ``v2 * laplacian(p)`` everywhere."""
+    import numpy as np
+    h = order // 2
+    m = np.zeros((nx, nz), np.float32)
+    m[h:nx - h, h:nz - h] = 1.0
+    return m
 
 
 def leapfrog(p, pp, v2, lap, dt2):

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.stencil import laplacian
+from ..ops.stencil import laplacian_full
 from ..ops.pallas_fd import _STACK_GRIDS, _VMEM_PER_CORE, vmem_params
 from ..solver import FDContext
 
@@ -107,7 +107,7 @@ def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
         dst, src = (X, Y) if k % 2 == 0 else (Y, X)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2m_ref[:, :] * dt2 * laplacian(sm, cz, cx, ctx.order))
+                     + v2m_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, ctx.order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[k, 0] * src_ref[:, :]
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
@@ -155,11 +155,11 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
             s = src_s[:, :]
             dst_s[:, :] = (2.0 * s - dst_s[:, :]
                            + v2m_ref[:, :] * dt2
-                           * laplacian(s, cz, cx, ctx.order))
+                           * laplacian_full(s, cz, cx, ctx.order))
         sm = src_r[:, :] * mask_ref[:, :]
         dst_r[:, :] = (2.0 * sm - dst_r[:, :] * mask_ref[:, :]
                        + v2m_ref[:, :] * dt2
-                       * laplacian(sm, cz, cx, ctx.order))
+                       * laplacian_full(sm, cz, cx, ctx.order))
         src_r[:, :] = sm
         dst_r[gz:gz + 1, :] += dobs_ref[k:k + 1, :]
         IM[:, :] += dst_s[:, :] * dst_r[:, :]
@@ -190,7 +190,7 @@ def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
         src, dst = (X, Y) if k % 2 == 0 else (Y, X)
         p = src[:, :]
         upd = (2.0 * p - dst[:, :]
-               + v2m_ref[:, :] * dt2 * laplacian(p, cz, cx, ctx.order))
+               + v2m_ref[:, :] * dt2 * laplacian_full(p, cz, cx, ctx.order))
         dst[:, :] = upd * mask_ref[:, :]
         dst[band, :] = ((upd[band, :] + wav_ref[k, 0] * src_ref[:, :])
                         * mask_ref[band, :])
@@ -262,9 +262,14 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
         row0 = jax.lax.axis_index("x") * nxl
         glob = row0 - H + jnp.arange(nxw)
         lane = ((glob >= h) & (glob < ctx.nxe - h)).astype(jnp.float32)
+        zrow = ((jnp.arange(ctx.nze) >= h)
+                & (jnp.arange(ctx.nze) < ctx.nze - h)).astype(jnp.float32)
         mask_l = jax.lax.dynamic_slice(mask_glob, (row0, 0), (nxl, ctx.nze))
         mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x)
-        v2m_e = halo_exchange_lanes(v2.T, H, "x", n_x) * lane[None, :]
+        # full interior mask folded into v2 (x via lanes, z via sublanes):
+        # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
+        v2m_e = (halo_exchange_lanes(v2.T, H, "x", n_x)
+                 * lane[None, :] * zrow[:, None])
         dx = (glob - sx).astype(jnp.float32)
         if gaussian:
             dzr = jnp.arange(-r, r + 1, dtype=jnp.float32)[:, None]
@@ -392,12 +397,15 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
         row0 = jax.lax.axis_index("x") * nxl
         glob = row0 - H + jnp.arange(nxw)
         lane = ((glob >= h) & (glob < ctx.nxe - h)).astype(jnp.float32)
+        zrow = ((jnp.arange(ctx.nze) >= h)
+                & (jnp.arange(ctx.nze) < ctx.nze - h)).astype(jnp.float32)
         mask_l = jax.lax.dynamic_slice(mask_glob, (row0, 0),
                                        (nxl, ctx.nze))
         mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x)
         v2_e = halo_exchange_lanes(v2.T, H, "x", n_x)
-        # lane interior mask folded into v2: v2m*lap == v2*(lap*lane) exactly
-        v2m_e = v2_e * lane[None, :]
+        # full interior mask folded into v2 (x via lanes, z via sublanes):
+        # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
+        v2m_e = v2_e * lane[None, :] * zrow[:, None]
         src_row = (glob == sx).astype(jnp.float32)[None, :]
         dobs_e = halo_exchange_lanes(dobs_ext.T, H, "x", n_x)  # (nt, nxw)
         wav2 = wavelet.reshape(ctx.nt, 1)
