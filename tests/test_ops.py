@@ -32,6 +32,21 @@ class TestLaplacian:
             expect = oracles.lap_oracle(p, cx, cz, order)
             np.testing.assert_allclose(got, expect, atol=1e-5)
 
+    def test_laplacian_full_masked_equals_padded(self, rng):
+        """The pad-free roll formulation (used inside the Pallas kernels)
+        times the interior mask must reproduce the zero-bordered laplacian
+        for every supported order — the v2-premask contract of
+        pallas_fd._v2_operand / domain_pallas."""
+        for order in (2, 4, 6, 8, 10):
+            p = _rand_field(rng, 41, 33)
+            cx, cz = numerics.scaled_coefficients(order, dx=8.0, dz=25.0)
+            ref = np.asarray(stencil.laplacian(jnp.asarray(p), cx, cz, order))
+            mask = stencil.lap_interior_mask(*p.shape, order)
+            got = np.asarray(stencil.laplacian_full(
+                jnp.asarray(p), cx, cz, order)) * mask
+            scale = np.abs(ref).max() or 1.0
+            np.testing.assert_allclose(got / scale, ref / scale, atol=2e-7)
+
     def test_constant_field_zero_lap(self):
         # sum of 2nd-derivative coefficients is ~0 -> Laplacian of a constant
         p = np.full((32, 32), 5.0, np.float32)
