@@ -134,13 +134,15 @@ def _compiler_params():
 
 
 def _v2_operand(ctx: FDContext, v2):
-    """z-major ``v2`` kernel operand with the Laplacian interior mask folded
-    in: the kernels compute the pad-free :func:`..stencil.laplacian_full`
-    (wrapped garbage within h of every edge) and ``v2m * lap_full`` equals
-    ``v2 * lap_zero_bordered`` exactly — zero in-kernel cost and no
-    ``tpu.concatenate`` for Mosaic to reject."""
-    return jnp.transpose(v2) * jnp.asarray(
-        lap_interior_mask(ctx.nze, ctx.nxe, ctx.order))
+    """z-major ``v2`` kernel operand with the Laplacian interior mask AND
+    ``dt2`` folded in: the kernels compute the pad-free
+    :func:`..stencil.laplacian_full` (wrapped garbage within h of every
+    edge) and ``v2m * lap_full`` equals ``v2 * dt2 * lap_zero_bordered``
+    exactly — ``(v2*dt2)*lap`` is the reference association order and the
+    fold removes one loop-invariant vector multiply per cell per step.
+    No ``tpu.concatenate`` for Mosaic to reject."""
+    m = lap_interior_mask(ctx.nze, ctx.nxe, ctx.order)
+    return jnp.transpose(v2) * jnp.asarray(m * np.float32(ctx.dt2))
 
 
 def _coefs(ctx: FDContext):
@@ -177,7 +179,7 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
     """One shot of mod_main's time loop (``mod_main.cpp:146-168``), z-major.
     Buffer roles alternate per step: even it updates B from A and records A;
     odd it updates A from B and records B (the functional double buffer)."""
-    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    order = ctx.order
     cz, cx = _coefs(ctx)
     nt = ctx.nt
 
@@ -188,7 +190,7 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
         — value-level scatter-add does not lower on TPU."""
         p = src_buf[:, :]
         upd = (2.0 * p - dst_buf[:, :]
-               + v2_ref[:, :] * dt2 * laplacian_full(p, cz, cx, order))
+               + v2_ref[:, :] * laplacian_full(p, cz, cx, order))
         amp = wav_ref[it, 0]
         dst_buf[:, :] = upd * mask_ref[:, :]
         band = slice(sz - r, sz + r + 1)
@@ -280,14 +282,14 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     accumulates ``imloc += p * ppr`` every step (borders sliced off by the
     caller).
     """
-    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    order = ctx.order
     cz, cx = _coefs(ctx)
     nt = ctx.nt
 
     def leap(dst, src):
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian_full(s, cz, cx, order))
+                     + v2_ref[:, :] * laplacian_full(s, cz, cx, order))
 
     # ---------------- forward ----------------
     A[:, :] = jnp.zeros_like(A)
@@ -299,7 +301,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
         # as taper-then-update, so results are bitwise identical)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
@@ -328,7 +330,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     def rstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         # receiver row add at interior lanes [nxb, nxb+nx) (kernel_sism)
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
@@ -413,14 +415,14 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
 def _fwd_gpu_kernel(ctx: FDContext, sz: int,
                     v2_ref, mask_ref, wav_ref, src_ref,
                     pout_ref, ppout_ref, A, B):
-    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    order = ctx.order
     cz, cx = _coefs(ctx)
     nt = ctx.nt
 
     def fstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
@@ -443,14 +445,14 @@ def _fwd_gpu_kernel(ctx: FDContext, sz: int,
 def _bwd_gpu_kernel(ctx: FDContext, gz: int,
                     v2_ref, mask_ref, snapP_in, snapPP_in, dobs_ref,
                     imloc_ref, A, B, C, D):
-    order, dt2 = ctx.order, jnp.float32(ctx.dt2)
+    order = ctx.order
     cz, cx = _coefs(ctx)
     nt = ctx.nt
 
     def leap(dst, src):
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian_full(s, cz, cx, order))
+                     + v2_ref[:, :] * laplacian_full(s, cz, cx, order))
 
     snapP, snapPP = A, B
     snapP[:, :] = snapP_in[:, :]
@@ -462,7 +464,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     def rstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
         src[:, :] = sm
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 

@@ -98,7 +98,6 @@ def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
     """K forward steps (fd-code.cu:259-267 semantics) on the halo-extended
     slab. Carry contract matches the sharded-lax fstep: in/out are the
     (tapered p, freshly updated pp) pair on the device's own nxl lanes."""
-    dt2 = jnp.float32(ctx.dt2)
     cz = [float(v) for v in ctx.coefs_z]
     cx = [float(v) for v in ctx.coefs_x]
     X[:, :] = p_in[:, :]
@@ -107,7 +106,7 @@ def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
         dst, src = (X, Y) if k % 2 == 0 else (Y, X)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2m_ref[:, :] * dt2 * laplacian_full(sm, cz, cx, ctx.order))
+                     + v2m_ref[:, :] * laplacian_full(sm, cz, cx, ctx.order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[k, 0] * src_ref[:, :]
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
@@ -128,7 +127,6 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
     else:
         (p_in, pp_in, pr_in, ppr_in,
          p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V, IM) = refs
-    dt2 = jnp.float32(ctx.dt2)
     cz = [float(v) for v in ctx.coefs_z]
     cx = [float(v) for v in ctx.coefs_x]
     ctr = slice(H, H + nxl)
@@ -154,11 +152,11 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
         else:
             s = src_s[:, :]
             dst_s[:, :] = (2.0 * s - dst_s[:, :]
-                           + v2m_ref[:, :] * dt2
+                           + v2m_ref[:, :]
                            * laplacian_full(s, cz, cx, ctx.order))
         sm = src_r[:, :] * mask_ref[:, :]
         dst_r[:, :] = (2.0 * sm - dst_r[:, :] * mask_ref[:, :]
-                       + v2m_ref[:, :] * dt2
+                       + v2m_ref[:, :]
                        * laplacian_full(sm, cz, cx, ctx.order))
         src_r[:, :] = sm
         dst_r[gz:gz + 1, :] += dobs_ref[k:k + 1, :]
@@ -180,7 +178,6 @@ def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
     update, inject, taper both, record row gz of the tapered old field) on
     the halo-extended slab; seismogram rows recorded on the device's own
     lanes only."""
-    dt2 = jnp.float32(ctx.dt2)
     cz = [float(v) for v in ctx.coefs_z]
     cx = [float(v) for v in ctx.coefs_x]
     band = slice(sz - r, sz + r + 1)
@@ -190,7 +187,7 @@ def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
         src, dst = (X, Y) if k % 2 == 0 else (Y, X)
         p = src[:, :]
         upd = (2.0 * p - dst[:, :]
-               + v2m_ref[:, :] * dt2 * laplacian_full(p, cz, cx, ctx.order))
+               + v2m_ref[:, :] * laplacian_full(p, cz, cx, ctx.order))
         dst[:, :] = upd * mask_ref[:, :]
         dst[band, :] = ((upd[band, :] + wav_ref[k, 0] * src_ref[:, :])
                         * mask_ref[band, :])
@@ -269,7 +266,7 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
         # full interior mask folded into v2 (x via lanes, z via sublanes):
         # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
         v2m_e = (halo_exchange_lanes(v2.T, H, "x", n_x)
-                 * lane[None, :] * zrow[:, None])
+                 * lane[None, :] * zrow[:, None] * jnp.float32(ctx.dt2))
         dx = (glob - sx).astype(jnp.float32)
         if gaussian:
             dzr = jnp.arange(-r, r + 1, dtype=jnp.float32)[:, None]
@@ -405,7 +402,8 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
         v2_e = halo_exchange_lanes(v2.T, H, "x", n_x)
         # full interior mask folded into v2 (x via lanes, z via sublanes):
         # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
-        v2m_e = v2_e * lane[None, :] * zrow[:, None]
+        v2m_e = (v2_e * lane[None, :] * zrow[:, None]
+                 * jnp.float32(ctx.dt2))
         src_row = (glob == sx).astype(jnp.float32)[None, :]
         dobs_e = halo_exchange_lanes(dobs_ext.T, H, "x", n_x)  # (nt, nxw)
         wav2 = wavelet.reshape(ctx.nt, 1)
