@@ -519,13 +519,13 @@ def _main_body():
         details["rtm_pallas_speedup_vs_cpu_reference"] = (
             BASELINE_RTM_S_PER_SHOT / t_pallas)
         # effective field-update rate: 3 grid updates per step (1 fwd,
-        # 2 bwd), ~31 vector ops per cell-update (symmetric-pair stencil 25
+        # 2 bwd), ~30 vector ops per cell-update (symmetric-pair stencil 25
         # + leapfrog, taper, imaging amortized)
         p3, _, _ = _load_3lay()
         cells = p3.nxe * p3.nze * p3.nt * 3
         details["rtm_pallas_gcell_updates_per_s"] = cells / t_pallas / 1e9
         details["rtm_pallas_vpu_ceiling_fraction"] = (
-            cells / t_pallas) / vpu_ceiling_cell_rate(31)
+            cells / t_pallas) / vpu_ceiling_cell_rate(30)
         t_single = bench_rtm_pallas_single()
         details["rtm_3lay_pallas_s_per_shot_unbatched"] = t_single
         try:
@@ -542,7 +542,7 @@ def _main_body():
                 details["rtm_pallas_gcell_updates_per_s_slope"] = (
                     cells / slope / 1e9)
                 details["rtm_pallas_slope_vpu_ceiling_fraction"] = (
-                    cells / slope) / vpu_ceiling_cell_rate(31)
+                    cells / slope) / vpu_ceiling_cell_rate(30)
         except Exception as e:
             details["rtm_3lay_pallas_batched32_error"] = str(e)[:200]
         try:

@@ -128,7 +128,7 @@ def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
     op-slots per cycle (~2.1 on v5e, micro-measured in VMEM,
     docs/PALLAS_NOTES.md; unmeasured kinds use the single-issue floor).
     ~80.9 GCell/s for the 25-op symmetric-pair order-8 Laplacian on v5e,
-    ~65.2 GCell/s for the 31-op fused RTM update."""
+    ~67.4 GCell/s for the 30-op fused RTM update (dt2 folded into the v2 operand)."""
     slots = _by_device_kind(_VPU_ISSUE_SLOTS, _VPU_ISSUE_SLOTS_DEFAULT,
                             device)
     return (_VPU_REG_LANES * slots
