@@ -111,6 +111,36 @@ class TestWholeShotKernels:
              v2, snap, snap, dobs)
 
 
+class TestStressShapes:
+    def test_rtm_snapshot_marmousi_size(self, tpu_sharding):
+        """The largest GPU-suite config (369x375 -> 409x455 extended,
+        anisotropic spacing, VMEM wavelet at nt=3004)."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            rtm_snapshot_pallas)
+        ctx = FDContext.create(369, 375, 3004, dx=25.0, dz=8.0, dt=0.001,
+                               order=8, nxb=20, nzb=40, fac=0.7)
+        dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
+        _aot(tpu_sharding,
+             lambda v2, wav, dobs, sx: rtm_snapshot_pallas(
+                 ctx, v2, wav, dobs, sx, 5, 5),
+             jnp.zeros((ctx.nxe, ctx.nze), jnp.float32),
+             jnp.zeros((ctx.nt,), jnp.float32), dobs, jnp.int32(40))
+
+    def test_rtm_snapshot_wide_grid(self, tpu_sharding):
+        """Production-width grid (231 z x 2000 x): the shape whose Mosaic
+        vector stack overflowed the earlier ~12-grid margin."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            rtm_snapshot_pallas)
+        ctx = FDContext.create(1968, 199, 8, dx=10.0, dz=10.0, dt=0.001,
+                               order=8, nxb=16, nzb=16, fac=0.7)
+        dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
+        _aot(tpu_sharding,
+             lambda v2, wav, dobs, sx: rtm_snapshot_pallas(
+                 ctx, v2, wav, dobs, sx, 5, 5),
+             jnp.zeros((ctx.nxe, ctx.nze), jnp.float32),
+             jnp.zeros((ctx.nt,), jnp.float32), dobs, jnp.int32(40))
+
+
 class TestStencilKernels:
     def test_tiled(self, tpu_sharding, rng_mod):
         from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
