@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import lap_interior_mask, laplacian_full
+from .stencil import lap_in_kernel, lap_interior_mask
 from ..solver import FDContext
 
 __all__ = ["forward_modeling_pallas", "rtm_snapshot_pallas",
@@ -190,7 +190,7 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
         — value-level scatter-add does not lower on TPU."""
         p = src_buf[:, :]
         upd = (2.0 * p - dst_buf[:, :]
-               + v2_ref[:, :] * laplacian_full(p, cz, cx, order))
+               + v2_ref[:, :] * lap_in_kernel(p, cz, cx, order))
         amp = wav_ref[it, 0]
         dst_buf[:, :] = upd * mask_ref[:, :]
         band = slice(sz - r, sz + r + 1)
@@ -289,7 +289,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     def leap(dst, src):
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * laplacian_full(s, cz, cx, order))
+                     + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
 
     # ---------------- forward ----------------
     A[:, :] = jnp.zeros_like(A)
@@ -301,7 +301,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
         # as taper-then-update, so results are bitwise identical)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
@@ -330,7 +330,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     def rstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
         src[:, :] = sm
         # receiver row add at interior lanes [nxb, nxb+nx) (kernel_sism)
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
@@ -422,7 +422,7 @@ def _fwd_gpu_kernel(ctx: FDContext, sz: int,
     def fstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
@@ -452,7 +452,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     def leap(dst, src):
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * laplacian_full(s, cz, cx, order))
+                     + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
 
     snapP, snapPP = A, B
     snapP[:, :] = snapP_in[:, :]
@@ -464,7 +464,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     def rstep(dst, src, it):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * laplacian_full(sm, cz, cx, order))
+                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
         src[:, :] = sm
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "laplacian_interior", "laplacian", "laplacian_full", "lap_interior_mask",
+    "laplacian_interior", "laplacian", "laplacian_full", "lap_in_kernel",
+    "lap_interior_mask",
     "leapfrog", "apply_taper", "inject_point", "inject_gaussian",
     "inject_receivers", "imaging_correlation",
 ]
@@ -82,6 +83,50 @@ def laplacian_full(p, coefs_x, coefs_z, order: int):
         acc = acc + coefs_z[h + k] * (jnp.roll(p, k, 1) + jnp.roll(p, -k, 1))
         acc = acc + coefs_x[h + k] * (jnp.roll(p, k, 0) + jnp.roll(p, -k, 0))
     return acc
+
+
+def _laplacian_splitzx_padded(p, coefs_x, coefs_z, order: int):
+    """Fallback in-kernel Laplacian: symmetric pairs accumulated per axis,
+    descending k so each part's FIRST term carries the naive formulation's
+    layout offsets (z from a column-0 slice, x from a row-0 slice), merged
+    center last, final mixed-offset accz+accx add, then ``jnp.pad`` — the
+    layout pattern the deployed Mosaic compiled for two rounds. Same 25-op
+    count; differs from :func:`laplacian_full` only by reassociation
+    (~1e-7). Selected with ``PFDC_LAP_IMPL=padded`` if a serving stack
+    rejects the roll lowering."""
+    nx, nz = p.shape
+    h = order // 2
+    accz = None
+    for k in range(h, 0, -1):
+        zm = jax.lax.slice(p, (h, h - k), (nx - h, nz - h - k))
+        zp = jax.lax.slice(p, (h, h + k), (nx - h, nz - h + k))
+        term = coefs_z[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + (coefs_z[h] + coefs_x[h]) * jax.lax.slice(
+        p, (h, h), (nx - h, nz - h))
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(p, (h - k, h), (nx - h - k, nz - h))
+        xp = jax.lax.slice(p, (h + k, h), (nx - h + k, nz - h))
+        term = coefs_x[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    return jnp.pad(accz + accx, ((h, h), (h, h)))
+
+
+def lap_in_kernel(p, coefs_x, coefs_z, order: int):
+    """The Laplacian formulation used inside Pallas kernels, selectable via
+    ``PFDC_LAP_IMPL`` (read at trace time):
+
+    * ``roll`` (default): :func:`laplacian_full` — concat-free; requires
+      the caller's v2 premask (:func:`lap_interior_mask`).
+    * ``padded``: :func:`_laplacian_splitzx_padded` — zero-bordered output
+      (the v2 premask is then redundant but harmless), for serving stacks
+      whose Mosaic rejects the roll lowering.
+    """
+    import os
+    if os.environ.get("PFDC_LAP_IMPL", "roll") == "padded":
+        return _laplacian_splitzx_padded(p, coefs_x, coefs_z, order)
+    return laplacian_full(p, coefs_x, coefs_z, order)
 
 
 def lap_interior_mask(nx: int, nz: int, order: int):

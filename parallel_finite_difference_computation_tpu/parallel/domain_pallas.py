@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.stencil import laplacian_full
+from ..ops.stencil import lap_in_kernel
 from ..ops.pallas_fd import _STACK_GRIDS, _VMEM_PER_CORE, vmem_params
 from ..solver import FDContext
 
@@ -106,7 +106,7 @@ def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
         dst, src = (X, Y) if k % 2 == 0 else (Y, X)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2m_ref[:, :] * laplacian_full(sm, cz, cx, ctx.order))
+                     + v2m_ref[:, :] * lap_in_kernel(sm, cz, cx, ctx.order))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[k, 0] * src_ref[:, :]
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
@@ -153,11 +153,11 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
             s = src_s[:, :]
             dst_s[:, :] = (2.0 * s - dst_s[:, :]
                            + v2m_ref[:, :]
-                           * laplacian_full(s, cz, cx, ctx.order))
+                           * lap_in_kernel(s, cz, cx, ctx.order))
         sm = src_r[:, :] * mask_ref[:, :]
         dst_r[:, :] = (2.0 * sm - dst_r[:, :] * mask_ref[:, :]
                        + v2m_ref[:, :]
-                       * laplacian_full(sm, cz, cx, ctx.order))
+                       * lap_in_kernel(sm, cz, cx, ctx.order))
         src_r[:, :] = sm
         dst_r[gz:gz + 1, :] += dobs_ref[k:k + 1, :]
         IM[:, :] += dst_s[:, :] * dst_r[:, :]
@@ -187,7 +187,7 @@ def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
         src, dst = (X, Y) if k % 2 == 0 else (Y, X)
         p = src[:, :]
         upd = (2.0 * p - dst[:, :]
-               + v2m_ref[:, :] * laplacian_full(p, cz, cx, ctx.order))
+               + v2m_ref[:, :] * lap_in_kernel(p, cz, cx, ctx.order))
         dst[:, :] = upd * mask_ref[:, :]
         dst[band, :] = ((upd[band, :] + wav_ref[k, 0] * src_ref[:, :])
                         * mask_ref[band, :])

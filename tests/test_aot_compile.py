@@ -88,6 +88,19 @@ class TestWholeShotKernels:
                  ctx, v2, wav, dobs, sx, 5, 5),
              v2, wav, dobs, jnp.int32(40))
 
+    def test_rtm_snapshot_padded_fallback(self, tpu_sharding, small,
+                                          monkeypatch):
+        """PFDC_LAP_IMPL=padded (the split-zx pad fallback) also compiles."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            rtm_snapshot_pallas)
+        monkeypatch.setenv("PFDC_LAP_IMPL", "padded")
+        ctx, v2, wav = small
+        dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
+        _aot(tpu_sharding,
+             lambda v2, wav, dobs, sx: rtm_snapshot_pallas(
+                 ctx, v2, wav, dobs, sx, 5, 5),
+             v2, wav, dobs, jnp.int32(40))
+
     def test_forward_modeling(self, tpu_sharding, small):
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             forward_modeling_pallas)

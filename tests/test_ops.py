@@ -47,6 +47,22 @@ class TestLaplacian:
             scale = np.abs(ref).max() or 1.0
             np.testing.assert_allclose(got / scale, ref / scale, atol=2e-7)
 
+    def test_lap_in_kernel_variants(self, rng, monkeypatch):
+        """Both PFDC_LAP_IMPL selections agree with the zero-bordered
+        laplacian (roll needs the interior mask; padded is bordered)."""
+        p = _rand_field(rng, 41, 33)
+        cx, cz = numerics.scaled_coefficients(8, dx=8.0, dz=25.0)
+        ref = np.asarray(stencil.laplacian(jnp.asarray(p), cx, cz, 8))
+        scale = np.abs(ref).max()
+        mask = stencil.lap_interior_mask(*p.shape, 8)
+        monkeypatch.setenv("PFDC_LAP_IMPL", "roll")
+        got = np.asarray(stencil.lap_in_kernel(jnp.asarray(p), cx, cz, 8))
+        np.testing.assert_allclose(got * mask / scale, ref / scale, atol=2e-7)
+        monkeypatch.setenv("PFDC_LAP_IMPL", "padded")
+        got = np.asarray(stencil.lap_in_kernel(jnp.asarray(p), cx, cz, 8))
+        assert np.all(got[:4, :] == 0) and np.all(got[:, -4:] == 0)
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-7)
+
     def test_constant_field_zero_lap(self):
         # sum of 2nd-derivative coefficients is ~0 -> Laplacian of a constant
         p = np.full((32, 32), 5.0, np.float32)
