@@ -33,6 +33,23 @@ from parallel_finite_difference_computation_tpu.ops.pallas_fd import vmem_params
 from parallel_finite_difference_computation_tpu.utils.profiling import sync
 
 
+def _lap_taps_naive(a, order, hr, tx, W, cz, cx):
+    """The pre-optimization per-tap accumulation (35 ops), kept locally so
+    this A/B stays valid now that ps._lap_taps itself is symmetric."""
+    import jax.numpy as jnp
+    h = order // 2
+    wz = W - order
+    acz = cz[0] * jax.lax.slice(a, (hr, 0), (hr + tx, wz))
+    for io in range(1, order + 1):
+        acz = acz + cz[io] * jax.lax.slice(a, (hr, io), (hr + tx, io + wz))
+    r0 = hr - h
+    acx = cx[0] * jax.lax.slice(a, (r0, h), (r0 + tx, h + wz))
+    for io in range(1, order + 1):
+        acx = acx + cx[io] * jax.lax.slice(a, (r0 + io, h),
+                                           (r0 + io + tx, h + wz))
+    return jnp.pad(acz + acx, ((0, 0), (h, W - wz - h)))
+
+
 def _lap_taps_sym(a, order, hr, tx, W, cz, cx):
     """Symmetric-pair variant of ps._lap_taps (same frame contract)."""
     h = order // 2
@@ -134,7 +151,7 @@ def main():
     order = 8
     print("device:", jax.devices()[0])
     for tr in (64, 128):
-        naive, shape, mask = build(nx, nz, order, tr, ps._lap_taps)
+        naive, shape, mask = build(nx, nz, order, tr, _lap_taps_naive)
         symm, _, _ = build(nx, nz, order, tr, _lap_taps_sym)
         # correctness first
         rng = np.random.default_rng(1)
