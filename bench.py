@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# PFDC_BENCH_PLATFORM=cpu pins the platform for offline smoke runs (the
+# JAX_PLATFORMS env var alone is read too late here — sitecustomize
+# pre-imports jax — and ambient-device init hangs when the TPU tunnel is
+# down, so the config update is the only reliable pin).
+_plat = os.environ.get("PFDC_BENCH_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 # persistent compilation cache: Mosaic whole-shot kernels take minutes to
 # compile through the remote-compile tunnel; cache survives across runs
 jax.config.update("jax_compilation_cache_dir",
