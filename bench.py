@@ -672,7 +672,11 @@ def _main_body():
             pass
 
     details["floor_violations"] = floors
-    with open("BENCH_DETAILS.json", "w") as f:
+    # a PFDC_BENCH_PLATFORM=cpu smoke run must not clobber the recorded
+    # TPU details; write them to a side file instead
+    out_name = ("BENCH_DETAILS.json" if dev.platform == "tpu"
+                else f"BENCH_DETAILS_{dev.platform}.json")
+    with open(out_name, "w") as f:
         json.dump(details, f, indent=2)
 
     print(json.dumps({
