@@ -377,8 +377,9 @@ def bench_stencil_large(n: int = 8192, repeats: int = 16,
     observed). This is compute-bound on v5e — order-8 f32 arithmetic
     intensity (~4.4 flop/byte at the 2-pass traffic floor) exceeds the
     VPU/HBM balance point, so the measured VPU issue-rate ceiling
-    (:func:`profiling.vpu_ceiling_cell_rate`, ~80.9 GCell/s for the 25-op
-    symmetric-pair stencil), not the HBM roofline, is the speed-of-light.
+    (:func:`profiling.vpu_ceiling_cell_rate`, ~74.9 GCell/s for the 27-op
+    split-axis symmetric-pair stencil), not the HBM roofline, is the
+    speed-of-light.
     Returns (gcell, s_per_apply, tile)."""
     from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
         laplacian_pallas)
@@ -509,7 +510,8 @@ def main():
 
 def _main_body():
     from parallel_finite_difference_computation_tpu.utils.profiling import (
-        vpu_ceiling_cell_rate, stencil_ops_per_cell, device_hbm_gbps)
+        vpu_ceiling_cell_rate, stencil_ops_per_cell,
+        fused_update_ops_per_cell, device_hbm_gbps)
     dev = jax.devices()[0]
     details = {"device": str(dev), "platform": dev.platform}
     floors = []
@@ -527,13 +529,14 @@ def _main_body():
         details["rtm_pallas_speedup_vs_cpu_reference"] = (
             BASELINE_RTM_S_PER_SHOT / t_pallas)
         # effective field-update rate: 3 grid updates per step (1 fwd,
-        # 2 bwd), ~30 vector ops per cell-update (symmetric-pair stencil 25
-        # + leapfrog, taper, imaging amortized)
+        # 2 bwd); per cell-update the fused op count (split-axis stencil 27
+        # + leapfrog/taper; imaging amortized)
         p3, _, _ = _load_3lay()
         cells = p3.nxe * p3.nze * p3.nt * 3
         details["rtm_pallas_gcell_updates_per_s"] = cells / t_pallas / 1e9
         details["rtm_pallas_vpu_ceiling_fraction"] = (
-            cells / t_pallas) / vpu_ceiling_cell_rate(30)
+            cells / t_pallas) / vpu_ceiling_cell_rate(
+                fused_update_ops_per_cell(8))
         t_single = bench_rtm_pallas_single()
         details["rtm_3lay_pallas_s_per_shot_unbatched"] = t_single
         try:
@@ -550,7 +553,8 @@ def _main_body():
                 details["rtm_pallas_gcell_updates_per_s_slope"] = (
                     cells / slope / 1e9)
                 details["rtm_pallas_slope_vpu_ceiling_fraction"] = (
-                    cells / slope) / vpu_ceiling_cell_rate(30)
+                    cells / slope) / vpu_ceiling_cell_rate(
+                        fused_update_ops_per_cell(8))
         except Exception as e:
             details["rtm_3lay_pallas_batched32_error"] = str(e)[:200]
         try:

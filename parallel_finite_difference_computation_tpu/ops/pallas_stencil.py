@@ -36,17 +36,21 @@ def _lap_tile(a, cz, cx, order):
     h = order // 2
     rx = a.shape[0] - order
     rz = a.shape[1] - order
-    # symmetric-pair taps (c[h-k] == c[h+k] exactly); association order
-    # matches ops.stencil.laplacian_interior so all tiers stay bit-identical
-    acc = (cz[h] + cx[h]) * jax.lax.slice(a, (h, h), (h + rx, h + rz))
+    # split-axis symmetric-pair taps (c[h-k] == c[h+k] exactly); association
+    # order matches ops.stencil.laplacian_interior so all tiers stay
+    # bit-identical
+    c = jax.lax.slice(a, (h, h), (h + rx, h + rz))
+    accz = cz[h] * c
     for k in range(1, h + 1):
         zm = jax.lax.slice(a, (h, h - k), (h + rx, h - k + rz))
         zp = jax.lax.slice(a, (h, h + k), (h + rx, h + k + rz))
-        acc = acc + cz[h + k] * (zm + zp)
+        accz = accz + cz[h + k] * (zm + zp)
+    accx = cx[h] * c
+    for k in range(1, h + 1):
         xm = jax.lax.slice(a, (h - k, h), (h - k + rx, h + rz))
         xp = jax.lax.slice(a, (h + k, h), (h + k + rx, h + rz))
-        acc = acc + cx[h + k] * (xm + xp)
-    return acc
+        accx = accx + cx[h + k] * (xm + xp)
+    return accz + accx
 
 
 def _kernel(order, nx, tx, tz, chunk_w, n_tz, cz, cx,
@@ -198,17 +202,21 @@ def _lap_taps(a, order, hr, tx, W, cz, cx):
     h = order // 2
     wz = W - order
     r0 = hr - h
-    # symmetric-pair taps (c[h-k] == c[h+k] exactly); association order
-    # matches ops.stencil.laplacian_interior so all tiers stay bit-identical
-    acc = (cz[h] + cx[h]) * jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    # split-axis symmetric-pair taps (c[h-k] == c[h+k] exactly); association
+    # order matches ops.stencil.laplacian_interior so all tiers stay
+    # bit-identical
+    c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    accz = cz[h] * c
     for k in range(1, h + 1):
         zm = jax.lax.slice(a, (hr, h - k), (hr + tx, h - k + wz))
         zp = jax.lax.slice(a, (hr, h + k), (hr + tx, h + k + wz))
-        acc = acc + cz[h + k] * (zm + zp)
+        accz = accz + cz[h + k] * (zm + zp)
+    accx = cx[h] * c
+    for k in range(1, h + 1):
         xm = jax.lax.slice(a, (r0 + h - k, h), (r0 + h - k + tx, h + wz))
         xp = jax.lax.slice(a, (r0 + h + k, h), (r0 + h + k + tx, h + wz))
-        acc = acc + cx[h + k] * (xm + xp)
-    return jnp.pad(acc, ((0, 0), (h, W - wz - h)))
+        accx = accx + cx[h + k] * (xm + xp)
+    return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
 
 
 def _check_tile_rows(tile_rows, hr):

@@ -31,28 +31,36 @@ def laplacian_interior(p, coefs_x, coefs_z, order: int):
     (``kernel_lap``, ``fd-code.cu:53-78``). Returns the (nx-order, nz-order)
     interior block.
 
-    Symmetric-pair formulation: central-difference coefficients satisfy
-    ``c[h-k] == c[h+k]`` *exactly* (closed-form tables and ``_makeo2``'s
-    mirrored assignment, preserved by the uniform 1/dx^2 scaling), so the
-    taps are computed as ``(cz[h]+cx[h])*center + sum_k cz[h+k]*(zm+zp)
-    + sum_k cx[h+k]*(xm+xp)`` — 3*order+1 vector ops/cell vs the naive
-    4*order+3 (25 vs 35 for order 8), measured 1.33x on the VPU-issue-bound
-    Pallas kernels. Differs from the reference's per-tap accumulation order
-    only by float reassociation (~2.5e-7 relative); every tier in this
-    package uses this exact association order so lax and Pallas paths stay
-    bit-identical to each other.
+    Split-axis symmetric-pair formulation: central-difference coefficients
+    satisfy ``c[h-k] == c[h+k]`` *exactly* (closed-form tables and
+    ``_makeo2``'s mirrored assignment, preserved by the uniform 1/dx^2
+    scaling), so each axis accumulates ``c[h]*center + sum_k c[h+k]*(m+p)``
+    ascending, and the two axis accumulators are added once at the end —
+    3*order+3 vector ops/cell vs the naive 4*order+3 (27 vs 35 for order 8),
+    measured ~1.3x on the VPU-issue-bound Pallas kernels. The per-axis
+    accumulators mirror the reference kernel's ``acmz``/``acmx``
+    (``fd-code.cu:60-73``): with anisotropic spacing (marmousi dz=8, dx=25)
+    the x coefficients are ~10x smaller than z, and interleaving both axes
+    into ONE accumulator loses low bits of the x contribution every add —
+    measured 1.75e-4 drift vs the C oracle over nt=3004 (past the 1e-4
+    gate) vs 4.9e-6 for this split order (scripts/exp_lap_assoc.py). Every
+    tier in this package uses this exact association order so lax and
+    Pallas paths stay bit-identical to each other.
     """
     nx, nz = p.shape
     h = order // 2
-    acc = (coefs_z[h] + coefs_x[h]) * jax.lax.slice(p, (h, h), (nx - h, nz - h))
+    c = jax.lax.slice(p, (h, h), (nx - h, nz - h))
+    accz = coefs_z[h] * c
     for k in range(1, h + 1):
         zm = jax.lax.slice(p, (h, h - k), (nx - h, nz - h - k))
         zp = jax.lax.slice(p, (h, h + k), (nx - h, nz - h + k))
-        acc = acc + coefs_z[h + k] * (zm + zp)
+        accz = accz + coefs_z[h + k] * (zm + zp)
+    accx = coefs_x[h] * c
+    for k in range(1, h + 1):
         xm = jax.lax.slice(p, (h - k, h), (nx - h - k, nz - h))
         xp = jax.lax.slice(p, (h + k, h), (nx - h + k, nz - h))
-        acc = acc + coefs_x[h + k] * (xm + xp)
-    return acc
+        accx = accx + coefs_x[h + k] * (xm + xp)
+    return accz + accx
 
 
 def laplacian(p, coefs_x, coefs_z, order: int):
@@ -76,41 +84,25 @@ def laplacian_full(p, coefs_x, coefs_z, order: int):
     ``v2`` operand (:func:`lap_interior_mask`) — exact because the kernels
     consume the Laplacian only as ``v2*dt2*lap``. Interior cells see
     bit-identical operand values and association order to
-    :func:`laplacian_interior`."""
+    :func:`laplacian_interior` (split-axis accumulators, pairs ascending)."""
     h = order // 2
-    acc = (coefs_z[h] + coefs_x[h]) * p
+    accz = coefs_z[h] * p
     for k in range(1, h + 1):
-        acc = acc + coefs_z[h + k] * (jnp.roll(p, k, 1) + jnp.roll(p, -k, 1))
-        acc = acc + coefs_x[h + k] * (jnp.roll(p, k, 0) + jnp.roll(p, -k, 0))
-    return acc
+        accz = accz + coefs_z[h + k] * (jnp.roll(p, k, 1) + jnp.roll(p, -k, 1))
+    accx = coefs_x[h] * p
+    for k in range(1, h + 1):
+        accx = accx + coefs_x[h + k] * (jnp.roll(p, k, 0) + jnp.roll(p, -k, 0))
+    return accz + accx
 
 
 def _laplacian_splitzx_padded(p, coefs_x, coefs_z, order: int):
-    """Fallback in-kernel Laplacian: symmetric pairs accumulated per axis,
-    descending k so each part's FIRST term carries the naive formulation's
-    layout offsets (z from a column-0 slice, x from a row-0 slice), merged
-    center last, final mixed-offset accz+accx add, then ``jnp.pad`` — the
-    layout pattern the deployed Mosaic compiled for two rounds. Same 25-op
-    count; differs from :func:`laplacian_full` only by reassociation
-    (~1e-7). Selected with ``PFDC_LAP_IMPL=padded`` if a serving stack
-    rejects the roll lowering."""
-    nx, nz = p.shape
-    h = order // 2
-    accz = None
-    for k in range(h, 0, -1):
-        zm = jax.lax.slice(p, (h, h - k), (nx - h, nz - h - k))
-        zp = jax.lax.slice(p, (h, h + k), (nx - h, nz - h + k))
-        term = coefs_z[h + k] * (zm + zp)
-        accz = term if accz is None else accz + term
-    accz = accz + (coefs_z[h] + coefs_x[h]) * jax.lax.slice(
-        p, (h, h), (nx - h, nz - h))
-    accx = None
-    for k in range(h, 0, -1):
-        xm = jax.lax.slice(p, (h - k, h), (nx - h - k, nz - h))
-        xp = jax.lax.slice(p, (h + k, h), (nx - h + k, nz - h))
-        term = coefs_x[h + k] * (xm + xp)
-        accx = term if accx is None else accx + term
-    return jnp.pad(accz + accx, ((h, h), (h, h)))
+    """Fallback in-kernel Laplacian: the canonical split-axis symmetric-pair
+    association of :func:`laplacian_interior` (bit-identical interior),
+    zero-bordered via ``jnp.pad`` instead of the roll+mask scheme.
+    Selected with ``PFDC_LAP_IMPL=padded`` if a serving stack rejects the
+    roll lowering."""
+    return jnp.pad(laplacian_interior(p, coefs_x, coefs_z, order),
+                   ((order // 2,) * 2, (order // 2,) * 2))
 
 
 def lap_in_kernel(p, coefs_x, coefs_z, order: int):

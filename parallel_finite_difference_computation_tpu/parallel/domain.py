@@ -73,20 +73,23 @@ def sharded_laplacian(p_local, coefs_x, coefs_z, order: int, nxe: int,
     nxl, nz = p_local.shape
     h = order // 2
     ext = halo_exchange(p_local, h, axis_name, n_shards)
-    # symmetric-pair taps (c[h-k] == c[h+k] exactly); association order
-    # matches ops.stencil.laplacian_interior so sharded == unsharded bitwise.
-    # The merged center comes from the local rows (ext[h:h+nxl] == p_local);
+    # split-axis symmetric-pair taps (c[h-k] == c[h+k] exactly); association
+    # order matches ops.stencil.laplacian_interior (per-axis accumulators
+    # like the reference's acmz/acmx) so sharded == unsharded bitwise.
+    # The centers come from the local rows (ext[h:h+nxl] == p_local);
     # z pairs are fully local, x pairs read the halo-extended rows.
-    acc = (coefs_z[h] + coefs_x[h]) * jax.lax.slice(
-        p_local, (0, h), (nxl, nz - h))
+    c = jax.lax.slice(p_local, (0, h), (nxl, nz - h))
+    accz = coefs_z[h] * c
     for k in range(1, h + 1):
         zm = jax.lax.slice(p_local, (0, h - k), (nxl, nz - h - k))
         zp = jax.lax.slice(p_local, (0, h + k), (nxl, nz - h + k))
-        acc = acc + coefs_z[h + k] * (zm + zp)
+        accz = accz + coefs_z[h + k] * (zm + zp)
+    accx = coefs_x[h] * c
+    for k in range(1, h + 1):
         xm = jax.lax.slice(ext, (h - k, h), (nxl + h - k, nz - h))
         xp = jax.lax.slice(ext, (h + k, h), (nxl + h + k, nz - h))
-        acc = acc + coefs_x[h + k] * (xm + xp)
-    interior = acc
+        accx = accx + coefs_x[h + k] * (xm + xp)
+    interior = accz + accx
     lap = jnp.pad(interior, ((0, 0), (h, h)))
     return lap * _row_interior_mask(nxe, nxl, h, axis_name)
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 __all__ = ["sync", "timeit", "roofline_fraction", "device_hbm_gbps",
            "vpu_ceiling_cell_rate", "stencil_ops_per_cell",
+           "fused_update_ops_per_cell",
            "measure_stream_gbps", "trace"]
 
 # Peak HBM bandwidth by device kind (GB/s); conservative public numbers.
@@ -115,11 +116,24 @@ def _device_clock_ghz(device=None) -> float:
 
 def stencil_ops_per_cell(order: int) -> int:
     """Vector-op count per output cell of the order-``order`` Laplacian as
-    implemented (symmetric-pair taps, ``ops.stencil.laplacian_interior``):
-    one merged-center multiply plus, per axis, ``order/2`` pairs each
-    costing pair-add + multiply + accumulate — ``3*order + 1`` (25 for
-    order 8; the naive per-tap accumulation costs ``4*order + 3`` = 35)."""
-    return 3 * order + 1
+    implemented (split-axis symmetric-pair taps,
+    ``ops.stencil.laplacian_interior``): per axis one center multiply plus
+    ``order/2`` pairs each costing pair-add + multiply + accumulate, and a
+    final cross-axis add — ``3*order + 3`` (27 for order 8; the naive
+    per-tap accumulation costs ``4*order + 3`` = 35). The axis accumulators
+    are kept separate to match the reference's ``acmz``/``acmx`` rounding
+    (see ``laplacian_interior``'s docstring for the anisotropic-spacing
+    drift that a merged accumulator causes)."""
+    return 3 * order + 3
+
+
+def fused_update_ops_per_cell(order: int) -> int:
+    """Vector-op count of the fused leapfrog FD update as implemented in
+    the Pallas kernels: the Laplacian plus ``2p - pp + v2m*lap`` (4 ops;
+    dt2 and the interior mask are folded into the v2 operand) and the
+    taper multiply — ``stencil_ops_per_cell(order) + 5`` (32 for order 8;
+    the naive unfused accounting was 41)."""
+    return stencil_ops_per_cell(order) + 5
 
 
 def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
@@ -127,8 +141,9 @@ def vpu_ceiling_cell_rate(ops_per_cell: int, device=None) -> float:
     issue model: 8x128 vector lanes retiring the device kind's measured
     op-slots per cycle (~2.1 on v5e, micro-measured in VMEM,
     docs/PALLAS_NOTES.md; unmeasured kinds use the single-issue floor).
-    ~80.9 GCell/s for the 25-op symmetric-pair order-8 Laplacian on v5e,
-    ~67.4 GCell/s for the 30-op fused RTM update (dt2 folded into the v2 operand)."""
+    ~74.9 GCell/s for the 27-op split-axis symmetric-pair order-8 Laplacian
+    on v5e, ~63.2 GCell/s for the 32-op fused RTM update (dt2 folded into
+    the v2 operand)."""
     slots = _by_device_kind(_VPU_ISSUE_SLOTS, _VPU_ISSUE_SLOTS_DEFAULT,
                             device)
     return (_VPU_REG_LANES * slots

@@ -141,3 +141,67 @@ class TestFusedStep:
         expect = oracles.fd_step_oracle(p, pp, v2, c, dx2inv, dz2inv,
                                         np.float32(dt) ** 2, order)
         np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-5)
+
+
+class TestAnisotropicDrift:
+    """Regression for the round-3 merged-accumulator drift: with dx != dz
+    the x coefficients are ~(dx/dz)^2 smaller than z, and interleaving both
+    axes into one accumulator loses low bits of the x contribution every
+    add; compounded over nt steps that drifted marmousi (dz=8, dx=25,
+    nt=3004) to 1.75e-4 vs the C oracle — past the 1e-4 external gate.
+    The canonical split-axis association (per-axis accumulators like the
+    reference's acmz/acmx, fd-code.cu:60-73) stays at oracle-transcription
+    level (scripts/exp_lap_assoc.py).
+
+    This test propagates a point source on an anisotropic grid for 600
+    steps in f32 and gates the final-field rel RMS vs a float64 naive-order
+    transcription at 8e-6: the canonical order measures 3.9e-6, the merged
+    order 1.6e-5 (4.2x apart), so a reassociation regression trips it."""
+
+    def test_f32_drift_vs_f64_anisotropic(self):
+        import jax
+        order, h = 8, 4
+        nx, nz, nt = 152, 128, 600
+        dz, dx, dt, vel = 8.0, 25.0, 0.001, 2000.0
+        cx, cz = numerics.scaled_coefficients(order, dx, dz)
+        src = numerics.ricker_wavelet(nt, dt, 20.0)
+        sx, sz = nx // 2, nz // 2
+
+        cxj, czj = jnp.asarray(cx), jnp.asarray(cz)
+        v2dt2 = np.float32(vel * vel * dt * dt)
+
+        def step(carry, amp):
+            p, pp = carry
+            lap = jnp.pad(stencil.laplacian_interior(p, cxj, czj, order),
+                          ((h, h), (h, h)))
+            new = 2.0 * p - pp + v2dt2 * lap
+            new = new.at[sx, sz].add(amp)
+            return (new, p), None
+
+        p0 = jnp.zeros((nx, nz), jnp.float32)
+        (pf, _), _ = jax.lax.scan(step, (p0, p0), jnp.asarray(src))
+        got = np.asarray(pf, np.float64)
+
+        # float64 naive-order transcription (per-axis ascending taps,
+        # separate accumulators — fd-code.cu:60-73)
+        cx64 = np.asarray(cx, np.float64)
+        cz64 = np.asarray(cz, np.float64)
+        v2dt2_64 = float(vel) ** 2 * float(dt) ** 2
+        p = np.zeros((nx, nz))
+        pp = np.zeros((nx, nz))
+        for it in range(nt):
+            accz = np.zeros((nx - order, nz - order))
+            accx = np.zeros_like(accz)
+            for io in range(order + 1):
+                a = io - h
+                accz += cz64[io] * p[h:nx - h, h + a:nz - h + a]
+                accx += cx64[io] * p[h + a:nx - h + a, h:nz - h]
+            lap = np.zeros((nx, nz))
+            lap[h:nx - h, h:nz - h] = accz + accx
+            new = 2.0 * p - pp + v2dt2_64 * lap
+            new[sx, sz] += float(src[it])
+            pp, p = p, new
+
+        rel = (np.sqrt(np.mean((got - p) ** 2))
+               / np.sqrt(np.mean(p ** 2)))
+        assert rel < 8e-6, f"anisotropic f32 drift {rel:.3e} >= 8e-6"
