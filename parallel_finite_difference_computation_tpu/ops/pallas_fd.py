@@ -35,12 +35,14 @@ The full-wavefield rtm_main variant stays on the lax path
 (:func:`..solver.rtm_shot_full`) — storing nt full wavefields is inherently
 HBM-bound and XLA already streams it well.
 
-Numerics are identical to the lax path: the pad-free
-:func:`..stencil.laplacian_full` applies the same symmetric-pair taps in the
-same association order on interior cells, and the zero border comes from the
-pre-masked ``v2`` operand (:func:`_v2_operand`) instead of an in-kernel
-``jnp.pad`` (whose ``tpu.concatenate`` lowering some deployed Mosaic
-versions reject for offset-carrying operands). The unit tests compare the
+Numerics are identical to the lax path: :func:`..stencil.lap_in_kernel`
+applies the same split-axis symmetric-pair taps in the same association
+order (slice taps + ``jnp.pad`` by default — the descending-k order keeps
+the accumulation in a layout Mosaic pads, measured 1.28x the roll
+lowering; ``PFDC_LAP_IMPL=roll`` selects the pad-free
+:func:`..stencil.laplacian_full` whose zero border comes from the
+pre-masked ``v2`` operand, :func:`_v2_operand` — kept as the escape hatch
+for Mosaic versions that reject the pad). The unit tests compare the
 paths elementwise.
 """
 

@@ -37,19 +37,23 @@ def _lap_tile(a, cz, cx, order):
     rx = a.shape[0] - order
     rz = a.shape[1] - order
     # split-axis symmetric-pair taps (c[h-k] == c[h+k] exactly); association
-    # order matches ops.stencil.laplacian_interior so all tiers stay
-    # bit-identical
+    # order matches ops.stencil.laplacian_interior (pairs descending,
+    # center last) so all tiers stay bit-identical
     c = jax.lax.slice(a, (h, h), (h + rx, h + rz))
-    accz = cz[h] * c
-    for k in range(1, h + 1):
+    accz = None
+    for k in range(h, 0, -1):
         zm = jax.lax.slice(a, (h, h - k), (h + rx, h - k + rz))
         zp = jax.lax.slice(a, (h, h + k), (h + rx, h + k + rz))
-        accz = accz + cz[h + k] * (zm + zp)
-    accx = cx[h] * c
-    for k in range(1, h + 1):
+        term = cz[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * c
+    accx = None
+    for k in range(h, 0, -1):
         xm = jax.lax.slice(a, (h - k, h), (h - k + rx, h + rz))
         xp = jax.lax.slice(a, (h + k, h), (h + k + rx, h + rz))
-        accx = accx + cx[h + k] * (xm + xp)
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
     return accz + accx
 
 
@@ -203,19 +207,23 @@ def _lap_taps(a, order, hr, tx, W, cz, cx):
     wz = W - order
     r0 = hr - h
     # split-axis symmetric-pair taps (c[h-k] == c[h+k] exactly); association
-    # order matches ops.stencil.laplacian_interior so all tiers stay
-    # bit-identical
+    # order matches ops.stencil.laplacian_interior (pairs descending,
+    # center last) so all tiers stay bit-identical
     c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
-    accz = cz[h] * c
-    for k in range(1, h + 1):
+    accz = None
+    for k in range(h, 0, -1):
         zm = jax.lax.slice(a, (hr, h - k), (hr + tx, h - k + wz))
         zp = jax.lax.slice(a, (hr, h + k), (hr + tx, h + k + wz))
-        accz = accz + cz[h + k] * (zm + zp)
-    accx = cx[h] * c
-    for k in range(1, h + 1):
+        term = cz[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * c
+    accx = None
+    for k in range(h, 0, -1):
         xm = jax.lax.slice(a, (r0 + h - k, h), (r0 + h - k + tx, h + wz))
         xp = jax.lax.slice(a, (r0 + h + k, h), (r0 + h + k + tx, h + wz))
-        accx = accx + cx[h + k] * (xm + xp)
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
     return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
 
 

@@ -34,32 +34,42 @@ def laplacian_interior(p, coefs_x, coefs_z, order: int):
     Split-axis symmetric-pair formulation: central-difference coefficients
     satisfy ``c[h-k] == c[h+k]`` *exactly* (closed-form tables and
     ``_makeo2``'s mirrored assignment, preserved by the uniform 1/dx^2
-    scaling), so each axis accumulates ``c[h]*center + sum_k c[h+k]*(m+p)``
-    ascending, and the two axis accumulators are added once at the end —
-    3*order+3 vector ops/cell vs the naive 4*order+3 (27 vs 35 for order 8),
-    measured ~1.3x on the VPU-issue-bound Pallas kernels. The per-axis
-    accumulators mirror the reference kernel's ``acmz``/``acmx``
-    (``fd-code.cu:60-73``): with anisotropic spacing (marmousi dz=8, dx=25)
-    the x coefficients are ~10x smaller than z, and interleaving both axes
-    into ONE accumulator loses low bits of the x contribution every add —
-    measured 1.75e-4 drift vs the C oracle over nt=3004 (past the 1e-4
-    gate) vs 4.9e-6 for this split order (scripts/exp_lap_assoc.py). Every
-    tier in this package uses this exact association order so lax and
-    Pallas paths stay bit-identical to each other.
+    scaling), so each axis accumulates ``sum_k c[h+k]*(m+p)`` over the
+    pairs in descending k (ascending coefficient magnitude — the
+    small-terms-first order) with the center tap added last, and the two
+    axis accumulators are added once at the end — 3*order+3 vector
+    ops/cell vs the naive 4*order+3 (27 vs 35 for order 8), measured
+    ~1.3x on the VPU-issue-bound Pallas kernels.
+
+    The per-axis accumulators mirror the reference kernel's
+    ``acmz``/``acmx`` (``fd-code.cu:60-73``): with anisotropic spacing
+    (marmousi dz=8, dx=25) the x coefficients are ~10x smaller than z,
+    and interleaving both axes into ONE accumulator loses low bits of the
+    x contribution every add — measured 1.75e-4 drift vs the C oracle
+    over nt=3004 (past the 1e-4 gate) vs ~5e-6 for split-axis orders
+    (scripts/exp_lap_assoc.py). Descending-k also keeps the chain's FIRST
+    term on a pair slice, the layout Mosaic can ``jnp.pad`` (center-first
+    chains carry a vpad offset some deployed Mosaic versions reject).
+    Every tier in this package uses this exact association order so lax
+    and Pallas paths stay bit-identical to each other.
     """
     nx, nz = p.shape
     h = order // 2
     c = jax.lax.slice(p, (h, h), (nx - h, nz - h))
-    accz = coefs_z[h] * c
-    for k in range(1, h + 1):
+    accz = None
+    for k in range(h, 0, -1):
         zm = jax.lax.slice(p, (h, h - k), (nx - h, nz - h - k))
         zp = jax.lax.slice(p, (h, h + k), (nx - h, nz - h + k))
-        accz = accz + coefs_z[h + k] * (zm + zp)
-    accx = coefs_x[h] * c
-    for k in range(1, h + 1):
+        term = coefs_z[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + coefs_z[h] * c
+    accx = None
+    for k in range(h, 0, -1):
         xm = jax.lax.slice(p, (h - k, h), (nx - h - k, nz - h))
         xp = jax.lax.slice(p, (h + k, h), (nx - h + k, nz - h))
-        accx = accx + coefs_x[h + k] * (xm + xp)
+        term = coefs_x[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + coefs_x[h] * c
     return accz + accx
 
 
@@ -84,23 +94,28 @@ def laplacian_full(p, coefs_x, coefs_z, order: int):
     ``v2`` operand (:func:`lap_interior_mask`) — exact because the kernels
     consume the Laplacian only as ``v2*dt2*lap``. Interior cells see
     bit-identical operand values and association order to
-    :func:`laplacian_interior` (split-axis accumulators, pairs ascending)."""
+    :func:`laplacian_interior` (split-axis accumulators, pairs descending,
+    center last)."""
     h = order // 2
-    accz = coefs_z[h] * p
-    for k in range(1, h + 1):
-        accz = accz + coefs_z[h + k] * (jnp.roll(p, k, 1) + jnp.roll(p, -k, 1))
-    accx = coefs_x[h] * p
-    for k in range(1, h + 1):
-        accx = accx + coefs_x[h + k] * (jnp.roll(p, k, 0) + jnp.roll(p, -k, 0))
+    accz = None
+    for k in range(h, 0, -1):
+        term = coefs_z[h + k] * (jnp.roll(p, k, 1) + jnp.roll(p, -k, 1))
+        accz = term if accz is None else accz + term
+    accz = accz + coefs_z[h] * p
+    accx = None
+    for k in range(h, 0, -1):
+        term = coefs_x[h + k] * (jnp.roll(p, k, 0) + jnp.roll(p, -k, 0))
+        accx = term if accx is None else accx + term
+    accx = accx + coefs_x[h] * p
     return accz + accx
 
 
 def _laplacian_splitzx_padded(p, coefs_x, coefs_z, order: int):
-    """Fallback in-kernel Laplacian: the canonical split-axis symmetric-pair
+    """Default in-kernel Laplacian: the canonical split-axis symmetric-pair
     association of :func:`laplacian_interior` (bit-identical interior),
-    zero-bordered via ``jnp.pad`` instead of the roll+mask scheme.
-    Selected with ``PFDC_LAP_IMPL=padded`` if a serving stack rejects the
-    roll lowering."""
+    zero-bordered via ``jnp.pad`` — see :func:`lap_in_kernel` for the
+    measured slice-vs-roll lowering costs and the ``PFDC_LAP_IMPL``
+    selection."""
     return jnp.pad(laplacian_interior(p, coefs_x, coefs_z, order),
                    ((order // 2,) * 2, (order // 2,) * 2))
 
@@ -109,16 +124,23 @@ def lap_in_kernel(p, coefs_x, coefs_z, order: int):
     """The Laplacian formulation used inside Pallas kernels, selectable via
     ``PFDC_LAP_IMPL`` (read at trace time):
 
-    * ``roll`` (default): :func:`laplacian_full` — concat-free; requires
-      the caller's v2 premask (:func:`lap_interior_mask`).
-    * ``padded``: :func:`_laplacian_splitzx_padded` — zero-bordered output
-      (the v2 premask is then redundant but harmless), for serving stacks
-      whose Mosaic rejects the roll lowering.
+    * ``padded`` (default): :func:`_laplacian_splitzx_padded` — slice taps
+      + ``jnp.pad`` zero border (the caller's v2 premask is then redundant
+      but harmless). The descending-k canonical order keeps the chain's
+      first term on a pair slice, the layout Mosaic pads (measured 1.28x
+      the roll lowering on the whole-shot RTM kernel: 3.65 vs 4.67
+      ms/shot slope — lane rolls cost rotate+select where slices are
+      offset reads).
+    * ``roll``: :func:`laplacian_full` — concat/pad-free static rolls;
+      requires the caller's v2 premask (:func:`lap_interior_mask`). The
+      escape hatch for serving stacks whose Mosaic rejects the pad
+      lowering (none seen since the descending-order fix; the merged-
+      center order's pad WAS rejected by the dev tunnel's Mosaic).
     """
     import os
-    if os.environ.get("PFDC_LAP_IMPL", "roll") == "padded":
-        return _laplacian_splitzx_padded(p, coefs_x, coefs_z, order)
-    return laplacian_full(p, coefs_x, coefs_z, order)
+    if os.environ.get("PFDC_LAP_IMPL", "padded") == "roll":
+        return laplacian_full(p, coefs_x, coefs_z, order)
+    return _laplacian_splitzx_padded(p, coefs_x, coefs_z, order)
 
 
 def lap_interior_mask(nx: int, nz: int, order: int):

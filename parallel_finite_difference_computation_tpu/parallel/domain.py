@@ -75,20 +75,25 @@ def sharded_laplacian(p_local, coefs_x, coefs_z, order: int, nxe: int,
     ext = halo_exchange(p_local, h, axis_name, n_shards)
     # split-axis symmetric-pair taps (c[h-k] == c[h+k] exactly); association
     # order matches ops.stencil.laplacian_interior (per-axis accumulators
-    # like the reference's acmz/acmx) so sharded == unsharded bitwise.
-    # The centers come from the local rows (ext[h:h+nxl] == p_local);
-    # z pairs are fully local, x pairs read the halo-extended rows.
+    # like the reference's acmz/acmx, pairs descending, center last) so
+    # sharded == unsharded bitwise. The centers come from the local rows
+    # (ext[h:h+nxl] == p_local); z pairs are fully local, x pairs read the
+    # halo-extended rows.
     c = jax.lax.slice(p_local, (0, h), (nxl, nz - h))
-    accz = coefs_z[h] * c
-    for k in range(1, h + 1):
+    accz = None
+    for k in range(h, 0, -1):
         zm = jax.lax.slice(p_local, (0, h - k), (nxl, nz - h - k))
         zp = jax.lax.slice(p_local, (0, h + k), (nxl, nz - h + k))
-        accz = accz + coefs_z[h + k] * (zm + zp)
-    accx = coefs_x[h] * c
-    for k in range(1, h + 1):
+        term = coefs_z[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + coefs_z[h] * c
+    accx = None
+    for k in range(h, 0, -1):
         xm = jax.lax.slice(ext, (h - k, h), (nxl + h - k, nz - h))
         xp = jax.lax.slice(ext, (h + k, h), (nxl + h + k, nz - h))
-        accx = accx + coefs_x[h + k] * (xm + xp)
+        term = coefs_x[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + coefs_x[h] * c
     interior = accz + accx
     lap = jnp.pad(interior, ((0, 0), (h, h)))
     return lap * _row_interior_mask(nxe, nxl, h, axis_name)

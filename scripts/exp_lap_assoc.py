@@ -8,10 +8,12 @@ accumulators (acmz/acmx, ascending taps) and adds them once — so the merged
 order loses low bits of the x contribution every add, and the drift vs the
 oracle compounds over nt=3004 steps.
 
-Measured (marmousi full config, TPU): merged 1.75e-4, splitzx 4.9e-6,
-naive 3.3e-6 — splitzx (per-axis accumulators, pairs kept) was adopted as
-the canonical association in ``ops.stencil.laplacian_interior``; the
-``canonical`` variant runs the package unpatched and must match splitzx.
+Measured (marmousi full config, TPU): merged 1.75e-4, splitzx-ascending
+4.9e-6, naive 3.3e-6, canonical (splitzx descending-k, center last,
+unpatched package) 4.1e-6 — split-axis accumulation was adopted in
+``ops.stencil.laplacian_interior``, with descending-k inside each axis
+because that order's first term is a pair slice whose layout Mosaic can
+pad (and small-coefficients-first is the more accurate summation).
 
 Usage: python scripts/exp_lap_assoc.py {canonical|merged|splitzx|naive} [config]
 Prints one JSON line with the image/per-shot rel RMS vs the oracle goldens.

@@ -88,12 +88,12 @@ class TestWholeShotKernels:
                  ctx, v2, wav, dobs, sx, 5, 5),
              v2, wav, dobs, jnp.int32(40))
 
-    def test_rtm_snapshot_padded_fallback(self, tpu_sharding, small,
-                                          monkeypatch):
-        """PFDC_LAP_IMPL=padded (the split-zx pad fallback) also compiles."""
+    def test_rtm_snapshot_roll_fallback(self, tpu_sharding, small,
+                                        monkeypatch):
+        """PFDC_LAP_IMPL=roll (the pad-free escape hatch) also compiles."""
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             rtm_snapshot_pallas)
-        monkeypatch.setenv("PFDC_LAP_IMPL", "padded")
+        monkeypatch.setenv("PFDC_LAP_IMPL", "roll")
         ctx, v2, wav = small
         dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
         _aot(tpu_sharding,

@@ -155,8 +155,8 @@ class TestAnisotropicDrift:
 
     This test propagates a point source on an anisotropic grid for 600
     steps in f32 and gates the final-field rel RMS vs a float64 naive-order
-    transcription at 8e-6: the canonical order measures 3.9e-6, the merged
-    order 1.6e-5 (4.2x apart), so a reassociation regression trips it."""
+    transcription at 8e-6: the canonical order measures 3.6e-6, the merged
+    order 1.6e-5 (4.4x apart), so a reassociation regression trips it."""
 
     def test_f32_drift_vs_f64_anisotropic(self):
         import jax
