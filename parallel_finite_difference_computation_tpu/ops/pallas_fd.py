@@ -147,6 +147,58 @@ def _v2_operand(ctx: FDContext, v2):
     return jnp.transpose(v2) * jnp.asarray(m * np.float32(ctx.dt2))
 
 
+def _taper_rows(ctx: FDContext, mask_np) -> int:
+    """Number of leading z rows (sublanes, z-major) the taper actually
+    modifies, or 0 to force the fused full-grid path.
+
+    The GPU-suite taper (K3, ``kernel_tapper``, ``fd-code.cu:94-117``) runs
+    on a ``(gridx, gridBorder_z)`` grid — it touches only ``z < nzb`` (top
+    strip + the two top corners), so the mask is exactly 1.0 everywhere
+    else and the multiply can be restricted to that sublane strip
+    (``PFDC_TAPER_IMPL=strip``): two strip read-modify-writes replace two
+    full-grid mask multiplies and the full-grid tapered-source store,
+    saving ~2.7 full-grid op-slots of the ~35-slot step. Bitwise identical
+    by construction (the skipped cells were multiplied by exactly 1.0).
+    Verified against the actual mask at build time; any mask that touches
+    rows >= nzb (e.g. the all-edges ``taper_apply`` mask) falls back to
+    the fused path."""
+    import os
+    if os.environ.get("PFDC_TAPER_IMPL", "fused") != "strip":
+        return 0
+    rows = ctx.nzb
+    if rows <= 0 or not np.all(mask_np[rows:, :] == np.float32(1.0)):
+        return 0
+    return rows
+
+
+def _make_taper_leap(ctx: FDContext, v2_ref, mask_ref, cz, cx,
+                     taper_rows: int):
+    """Shared tapered leapfrog step: taper src and dst, update dst from the
+    tapered src (``kernel_tapper`` + ``kernel_lap`` + ``kernel_time``,
+    ``fd-code.cu:264-266``), leaving src holding its tapered value.
+
+    Two lowerings with bitwise-identical results (see :func:`_taper_rows`):
+    the fused full-grid form (default) and the strip form that multiplies
+    only the ``taper_rows`` sublane rows where the mask is not 1."""
+    order = ctx.order
+
+    def fused(dst, src):
+        sm = src[:, :] * mask_ref[:, :]
+        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
+                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
+        src[:, :] = sm
+
+    def strip(dst, src):
+        r = taper_rows
+        src[:r, :] = src[:r, :] * mask_ref[:r, :]
+        dst[:r, :] = dst[:r, :] * mask_ref[:r, :]
+        s = src[:, :]
+        dst[:, :] = (2.0 * s - dst[:, :]
+                     + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
+
+    return strip if taper_rows else fused
+
+
 def _coefs(ctx: FDContext):
     """Premultiplied coefficients as python floats (compile-time constants;
     pallas kernels cannot capture array-valued constants). Returned in
@@ -268,7 +320,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
 # Whole-shot two-snapshot RTM (GPU-suite flavor) — one kernel per shot
 # ==========================================================================
 
-def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
+def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
                 v2_ref, mask_ref, wav_ref, src_ref, dobs_ref,
                 imloc_ref, A, B, C, D):
     """fd_forward + fd_back in one kernel, z-major.
@@ -293,18 +345,17 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
         dst[:, :] = (2.0 * s - dst[:, :]
                      + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
 
+    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, cz, cx, taper_rows)
+
     # ---------------- forward ----------------
     A[:, :] = jnp.zeros_like(A)
     B[:, :] = jnp.zeros_like(B)
 
     def fstep(dst, src, it):
-        # taper fused into the update: one read-modify-write per buffer per
-        # step instead of separate taper passes (same operand values/order
-        # as taper-then-update, so results are bitwise identical)
-        sm = src[:, :] * mask_ref[:, :]
-        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
-        src[:, :] = sm
+        # taper fused into the update (or strip form — bitwise identical,
+        # see _make_taper_leap): same operand values/order as the
+        # reference's taper-then-update
+        taper_leap(dst, src)
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
     def fpair(i, _):
@@ -330,10 +381,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int,
     imloc_ref[:, :] = jnp.zeros_like(imloc_ref)
 
     def rstep(dst, src, it):
-        sm = src[:, :] * mask_ref[:, :]
-        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
-        src[:, :] = sm
+        taper_leap(dst, src)
         # receiver row add at interior lanes [nxb, nxb+nx) (kernel_sism)
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 
@@ -371,14 +419,16 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
     data (interior receivers); ``sz``/``gz`` static ints, ``sx`` traced.
     Returns the (nx, nz) per-shot image.
     """
-    mask = jnp.asarray(ctx.mask_top).T
+    mask_np = np.transpose(np.asarray(ctx.mask_top))
+    mask = jnp.asarray(mask_np)
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
     # time-major receivers at interior width, pre-reversed: row it =
     # dobs[:, nt-1-it]; injected at static lane offset nxb (kernel_sism,
     # fd-code.cu:124-131)
     dobs_tx = dobs[:, ::-1].astype(jnp.float32).T  # (nt, nx)
 
-    kern = functools.partial(_rtm_kernel, ctx, gz, sz)
+    kern = functools.partial(_rtm_kernel, ctx, gz, sz,
+                             _taper_rows(ctx, mask_np))
     imloc_ext = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
@@ -414,18 +464,15 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
 # fd-code.cu:247-341). Snapshots round-trip through HBM between the calls
 # (2 fields, negligible traffic).
 
-def _fwd_gpu_kernel(ctx: FDContext, sz: int,
+def _fwd_gpu_kernel(ctx: FDContext, sz: int, taper_rows: int,
                     v2_ref, mask_ref, wav_ref, src_ref,
                     pout_ref, ppout_ref, A, B):
-    order = ctx.order
     cz, cx = _coefs(ctx)
     nt = ctx.nt
+    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, cz, cx, taper_rows)
 
     def fstep(dst, src, it):
-        sm = src[:, :] * mask_ref[:, :]
-        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
-        src[:, :] = sm
+        taper_leap(dst, src)
         dst[sz:sz + 1, :] += wav_ref[it, 0] * src_ref[:, :]
 
     A[:, :] = jnp.zeros_like(A)
@@ -444,12 +491,13 @@ def _fwd_gpu_kernel(ctx: FDContext, sz: int,
     ppout_ref[:, :] = snapPP[:, :]
 
 
-def _bwd_gpu_kernel(ctx: FDContext, gz: int,
+def _bwd_gpu_kernel(ctx: FDContext, gz: int, taper_rows: int,
                     v2_ref, mask_ref, snapP_in, snapPP_in, dobs_ref,
                     imloc_ref, A, B, C, D):
     order = ctx.order
     cz, cx = _coefs(ctx)
     nt = ctx.nt
+    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, cz, cx, taper_rows)
 
     def leap(dst, src):
         s = src[:, :]
@@ -464,10 +512,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int,
     imloc_ref[:, :] = jnp.zeros_like(imloc_ref)
 
     def rstep(dst, src, it):
-        sm = src[:, :] * mask_ref[:, :]
-        dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
-        src[:, :] = sm
+        taper_leap(dst, src)
         dst[gz:gz + 1, ctx.nxb:ctx.nxb + ctx.nx] += dobs_ref[pl.ds(it, 1), :]
 
     def image_with(pbuf, rbuf):
@@ -501,9 +546,11 @@ def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
     (``fd_forward``, ``fd-code.cu:247-288``). Returns the final two
     wavefield states ``(p, pp)`` in (nx, nz) layout — the snapshots consumed
     by :func:`fd_back_pallas`."""
-    mask = jnp.asarray(ctx.mask_top).T
+    mask_np = np.transpose(np.asarray(ctx.mask_top))
+    mask = jnp.asarray(mask_np)
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
-    kern = functools.partial(_fwd_gpu_kernel, ctx, sz)
+    kern = functools.partial(_fwd_gpu_kernel, ctx, sz,
+                             _taper_rows(ctx, mask_np))
     p, pp = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
@@ -531,9 +578,11 @@ def fd_back_pallas(ctx: FDContext, v2, snap_p, snap_pp, dobs, gz: int,
     (``fd_back``, ``fd-code.cu:290-341``). ``snap_p``/``snap_pp`` are the
     (nx, nz)-layout outputs of :func:`fd_forward_pallas`; ``dobs`` is
     (nx, nt). Returns the (nx, nz) per-shot image."""
-    mask = jnp.asarray(ctx.mask_top).T
+    mask_np = np.transpose(np.asarray(ctx.mask_top))
+    mask = jnp.asarray(mask_np)
     dobs_tx = dobs[:, ::-1].astype(jnp.float32).T  # (nt, nx)
-    kern = functools.partial(_bwd_gpu_kernel, ctx, gz)
+    kern = functools.partial(_bwd_gpu_kernel, ctx, gz,
+                             _taper_rows(ctx, mask_np))
     imloc_ext = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
