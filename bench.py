@@ -410,7 +410,8 @@ def bench_stencil_large(n: int = 8192, repeats: int = 16,
     return best
 
 
-def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
+def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64,
+                         impl: str = "vpu"):
     """Sustained stencil throughput on the fixed-point padded layout
     (:func:`...pallas_stencil.laplacian_pallas_padded`): applies chain with
     no per-apply pad/slice — profiling showed the per-call jnp.pad inside
@@ -420,7 +421,12 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
     (gcell, s_per_apply, max_abs_err_vs_lax, gcell_slope) where gcell_slope
     is the dispatch-RTT-cancelled rate from the slope between the
     ``repeats`` and ``3*repeats`` chain lengths — the sustained kernel rate
-    a long run sees."""
+    a long run sees.
+
+    ``impl="mxu"`` benchmarks the MXU z-tap variant (banded block matmuls,
+    manual 3-pass bf16 — DMA-bound, ~1.76x the VPU path at 8192^2); its
+    error entry is *relative* to max|lap| (documented ~5e-6; the VPU path
+    keeps the absolute, bit-exact convention)."""
     from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
         laplacian_pallas_padded, to_padded, from_padded)
     from parallel_finite_difference_computation_tpu.ops.stencil import (
@@ -433,7 +439,8 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
         def f(x):
             p = to_padded(x, 8, tile_rows)
             for _ in range(k):
-                p = laplacian_pallas_padded(p, cx, cz, 8, n, n, tile_rows)
+                p = laplacian_pallas_padded(p, cx, cz, 8, n, n, tile_rows,
+                                            impl=impl)
             return from_padded(p, n, n, 8, tile_rows)
         return f
 
@@ -441,7 +448,7 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
     def single(x):
         p = to_padded(x, 8, tile_rows)
         return from_padded(laplacian_pallas_padded(p, cx, cz, 8, n, n,
-                                                   tile_rows),
+                                                   tile_rows, impl=impl),
                            n, n, 8, tile_rows)
 
     xs = jnp.asarray(base)
@@ -449,6 +456,8 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64):
     ref = np.asarray(jax.jit(lambda x: laplacian(
         x, jnp.asarray(cx), jnp.asarray(cz), 8))(xs))
     err = float(np.abs(got - ref).max())
+    if impl == "mxu":
+        err = err / (float(np.abs(ref).max()) or 1.0)
     make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
     t = _prof_timeit(make, chain(repeats), warmup=2, iters=5) / repeats
     # slope between chain lengths cancels the constant dispatch/readback
@@ -636,6 +645,23 @@ def _main_body():
                               "(measured bit-exact on this chip)")
         except Exception as e:
             details["stencil_8192_padded_error"] = str(e)[:200]
+        try:
+            gm, tm, errm, gm_slope = bench_stencil_padded(impl="mxu",
+                                                          tile_rows=128)
+            details["stencil_8192_mxu_gcell_per_s"] = gm
+            details["stencil_8192_mxu_s_per_apply"] = tm
+            details["stencil_8192_mxu_rel_err_vs_lax"] = errm
+            details["stencil_8192_mxu_gcell_per_s_slope"] = gm_slope
+            # the MXU variant is DMA-bound: quote against the HBM traffic
+            # floor (8 B/cell) rather than the VPU issue-rate ceiling
+            details["stencil_8192_mxu_hbm_roofline_fraction"] = (
+                gm_slope * 1e9 * 8) / (device_hbm_gbps(dev) * 1e9)
+            if gm_slope < 30.0:
+                floors.append(f"mxu stencil {gm_slope:.1f} GCell/s < 30")
+            if errm > 2e-5:
+                floors.append(f"mxu stencil rel err {errm:.2e} > 2e-5")
+        except Exception as e:
+            details["stencil_8192_mxu_error"] = str(e)[:200]
         try:
             from parallel_finite_difference_computation_tpu.utils.profiling \
                 import measure_stream_gbps

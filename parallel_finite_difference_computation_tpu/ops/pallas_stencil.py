@@ -227,6 +227,112 @@ def _lap_taps(a, order, hr, tx, W, cz, cx):
     return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
 
 
+def band_matrices(czp, h: int, W: int):
+    """Banded z-tap matrices for the MXU formulation (``impl="mxu"``):
+    per 128-lane output block b, ``out_z[:, b] = window_b @ S`` where
+    ``window_b`` is the 384-lane slice starting one block left of b and
+    ``S[m, j] = czp[h + (j + 128 - m)]`` on the band, 0 elsewhere. Edge
+    blocks use 256-wide windows pinned to the ends ([0, 256) for block 0
+    and [W-256, W) for the last; when W == 128 a single (128, 128)
+    diagonal-band matrix is returned for all three slots). Returns
+    (s_first, s_mid, s_last) float32 numpy arrays."""
+    import numpy as np
+
+    def banded(K, out0):
+        s = np.zeros((K, 128), np.float32)
+        for j in range(128):
+            for d in range(-h, h + 1):
+                m = out0 + j + d
+                if 0 <= m < K:
+                    s[m, j] = czp[h + d]
+        return s
+
+    if W == 128:
+        s = banded(128, 0)
+        return s, s, s
+    # mid: out col j of block b sits at window row j + 128
+    return banded(256, 0), banded(384, 128), banded(256, 128)
+
+
+def split_hi_lo(s):
+    """Split a float32 matrix into stacked (2, K, N) bfloat16 (hi, lo)
+    parts with ``hi + lo`` capturing ~16 mantissa bits — the operand form
+    for the manual 3-pass (bf16_3x-equivalent) MXU matmul."""
+    import numpy as np
+    import ml_dtypes
+    sh = s.astype(ml_dtypes.bfloat16)
+    slo = (s - sh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([sh, slo])
+
+
+def _lap_x_vpu(a, order, hr, tx, W, cx):
+    """x-axis (sublane) taps of the padded-layout frame on the VPU, full
+    width, center included: the split-axis ``accx`` half of
+    :func:`_lap_taps`."""
+    h = order // 2
+    r0 = hr - h
+    az = jax.lax.slice(a, (hr, 0), (hr + tx, W))
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(a, (r0 + h - k, 0), (r0 + h - k + tx, W))
+        xp = jax.lax.slice(a, (r0 + h + k, 0), (r0 + h + k + tx, W))
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    return accx + cx[h] * az, az
+
+
+def _kernel_padded_mxu(order, hr, nx, nz, tx, n_tx, R, W, cx,
+                       inp_hbm, mask_ref, sf_ref, sm_ref, sl_ref,
+                       out_ref, scratch, sems):
+    """Padded-layout Laplacian with the z (lane) taps on the MXU: per
+    128-lane block one banded matmul in manual 3-pass bf16 precision
+    (``ah@Sh + ah@Sl + al@Sh``; the dropped ``al@Sl`` term is ~2^-18
+    relative). The x (sublane) taps stay on the VPU and overlap with the
+    matmuls. Measured DMA-bound at 8192^2 (~69 of the ~70 GCell/s copy
+    floor vs ~39 for the all-VPU taps; scripts/exp_mxu_ztaps.py)."""
+    h = order // 2
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _halo_dma_start(inp_hbm, scratch, sems, 0, 0, tx, hr, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _halo_dma_start(inp_hbm, scratch, sems, i + 1,
+                        jax.lax.rem(i + 1, 2), tx, hr, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _halo_dma_wait(inp_hbm, scratch, sems, cur, tx, hr)
+    a = scratch[cur]
+    accx, az = _lap_x_vpu(a, order, hr, tx, W, cx)
+
+    ah = az.astype(jnp.bfloat16)
+    al = (az - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, 128), 0)
+    keep = (rows >= tx + 2 * h) & (rows < tx + h + nx - h)
+
+    def mm(lhs, s):
+        return jax.lax.dot_general(lhs, s, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    nb = W // 128
+    for b in range(nb):
+        if b == 0:
+            c0, kw, s = 0, min(256, W), sf_ref
+        elif b == nb - 1:
+            c0, kw, s = W - 256, 256, sl_ref
+        else:
+            c0, kw, s = 128 * (b - 1), 384, sm_ref
+        lh = jax.lax.slice(ah, (0, c0), (tx, c0 + kw))
+        ll = jax.lax.slice(al, (0, c0), (tx, c0 + kw))
+        yz = (mm(lh, s[0]) + mm(lh, s[1])) + mm(ll, s[0])
+        y = (yz + accx[:, 128 * b:128 * (b + 1)]) \
+            * mask_ref[0:1, 128 * b:128 * (b + 1)]
+        out_ref[:, 128 * b:128 * (b + 1)] = jnp.where(keep, y, 0.0)
+
+
 def _check_tile_rows(tile_rows, hr):
     if tile_rows % 8 != 0 or tile_rows < hr:
         raise ValueError(
@@ -289,13 +395,21 @@ def _kernel_padded(order, hr, nx, nz, tx, n_tx, R, W, cz, cx,
 
 def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
                             nx: int, nz: int, tile_rows: int = 64,
-                            interpret: bool = False):
+                            interpret: bool = False, impl: str = "vpu"):
     """Order-``order`` interior Laplacian on the fixed-point padded layout
     (see :func:`padded_layout`): maps an (R, W) padded field to an (R, W)
     padded field, so repeated applies chain with no per-apply pad/slice.
-    Semantically ``to_padded . laplacian . from_padded`` (borders zeroed),
+    Semantically ``to_padded . laplacian . from_padded`` (borders zeroed).
+    Requires order <= 16 (hr = 8 row-halo granularity covers h <= 8).
+
+    ``impl="vpu"`` (default) computes both axes' taps on the VPU and is
     bit-identical to :func:`...ops.stencil.laplacian` on the interior.
-    Requires order <= 16 (hr = 8 row-halo granularity covers h <= 8)."""
+    ``impl="mxu"`` computes the z (lane) taps as banded block matmuls on
+    the otherwise-idle MXU in manual 3-pass bf16 precision (max rel err
+    ~5e-6 vs the exact path) — measured 1.76x at 8192^2, DMA-bound at
+    ~98% of the kernel's copy floor (docs/PALLAS_NOTES.md)."""
+    if impl not in ("vpu", "mxu"):
+        raise ValueError(f"impl must be 'vpu' or 'mxu', got {impl!r}")
     h = order // 2
     hr = -(-h // 8) * 8
     _check_tile_rows(tile_rows, hr)
@@ -310,8 +424,6 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
     mask = _np.zeros((8, W), _np.float32)
     mask[:, 2 * h:nz] = 1.0
 
-    kern = functools.partial(_kernel_padded, order, hr, nx, nz, tx, n_tx,
-                             R, W, cz, cx)
     from .pallas_fd import vmem_params
     # measured on the v5e dev chip: Mosaic's vector stack for the unrolled
     # taps scales with W — at W=4224/tx=64 actual scoped-vmem usage is
@@ -319,11 +431,21 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
     # the compile; budget 2 scratch slots + out pipeline + 24 stack tiles
     # (the wide-grid anchor from docs/PALLAS_NOTES.md "Round 3")
     cp = vmem_params(((2 + 24) * (tx + 2 * hr) * W + 2 * tx * W) * 4)
+    if impl == "mxu":
+        sf, sm, sl = (split_hi_lo(s) for s in band_matrices(cz, h, W))
+        kern = functools.partial(_kernel_padded_mxu, order, hr, nx, nz,
+                                 tx, n_tx, R, W, cx)
+        extra_in = [jnp.asarray(sf), jnp.asarray(sm), jnp.asarray(sl)]
+    else:
+        kern = functools.partial(_kernel_padded, order, hr, nx, nz, tx,
+                                 n_tx, R, W, cz, cx)
+        extra_in = []
     return pl.pallas_call(
         kern,
         grid=(n_tx,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
         out_specs=pl.BlockSpec((tx, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, W), jnp.float32),
@@ -333,4 +455,4 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
         ],
         compiler_params=cp,
         interpret=interpret,
-    )(p_pad, jnp.asarray(mask))
+    )(p_pad, jnp.asarray(mask), *extra_in)
