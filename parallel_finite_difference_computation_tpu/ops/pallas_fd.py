@@ -147,6 +147,84 @@ def _v2_operand(ctx: FDContext, v2):
     return jnp.transpose(v2) * jnp.asarray(m * np.float32(ctx.dt2))
 
 
+def _use_mxu_lap(lap_impl) -> bool:
+    """Resolve the whole-shot kernels' Laplacian lowering: ``lap_impl`` is
+    an explicit ``"mxu"``/``"vpu"`` override, or None to read
+    ``PFDC_LAP_IMPL`` (value ``mxu`` selects the MXU path; ``padded``/
+    ``roll`` keep the exact VPU taps and choose their lowering inside
+    :func:`..stencil.lap_in_kernel`)."""
+    import os
+    if lap_impl is None:
+        lap_impl = os.environ.get("PFDC_LAP_IMPL", "padded")
+    return lap_impl == "mxu"
+
+
+def _pad_lanes(a, wp: int):
+    """Zero-pad the lane (last) axis of a 2D operand to width ``wp``."""
+    return jnp.pad(a, ((0, 0), (0, wp - a.shape[1])))
+
+
+def _mxu_band_inputs(ctx: FDContext, wp: int):
+    """Stacked hi/lo bf16 band matrices for the x (lane) taps of the
+    z-major whole-shot kernels (see :func:`..pallas_stencil.band_matrices`;
+    here the lane axis is x, so the band holds ``coefs_x``)."""
+    from .pallas_stencil import band_matrices, split_hi_lo
+    cx = [float(v) for v in ctx.coefs_x]
+    return tuple(jnp.asarray(split_hi_lo(s))
+                 for s in band_matrices(cx, ctx.order // 2, wp))
+
+
+def _make_lap(ctx: FDContext, mxu_refs=None):
+    """In-kernel Laplacian closure for the z-major whole-shot kernels.
+
+    With ``mxu_refs=None``: the exact VPU taps (:func:`..stencil.
+    lap_in_kernel`, bit-identical to the lax path). With ``mxu_refs`` a
+    (sf, sm, sl) tuple of stacked hi/lo bf16 band-matrix refs: the z
+    (sublane) taps stay on the VPU (static rolls; edge garbage killed by
+    the premasked ``v2`` operand) and the x (lane) taps run as banded
+    block matmuls on the otherwise-idle MXU in manual 3-pass bf16
+    precision (~5e-6 rel error per apply — see PALLAS_NOTES "z-taps on
+    the MXU"; here the roles of z and x swap because these kernels are
+    z-major)."""
+    cz, cx = _coefs(ctx)
+    order = ctx.order
+    if mxu_refs is None:
+        return lambda s: lap_in_kernel(s, cz, cx, order)
+    sf_ref, sm_ref, sl_ref = mxu_refs
+    h = order // 2
+
+    def lap(s):
+        nzd, wp = s.shape
+        accz = None
+        for k in range(h, 0, -1):
+            term = cz[h + k] * (jnp.roll(s, k, 0) + jnp.roll(s, -k, 0))
+            accz = term if accz is None else accz + term
+        accz = accz + cz[h] * s
+        sh_ = s.astype(jnp.bfloat16)
+        sl_ = (s - sh_.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(lhs, m):
+            return jax.lax.dot_general(lhs, m, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        nb = wp // 128
+        cols = []
+        for b in range(nb):
+            if b == 0:
+                c0, kw, m = 0, min(256, wp), sf_ref
+            elif b == nb - 1:
+                c0, kw, m = wp - 256, 256, sl_ref
+            else:
+                c0, kw, m = 128 * (b - 1), 384, sm_ref
+            lh = jax.lax.slice(sh_, (0, c0), (nzd, c0 + kw))
+            ll = jax.lax.slice(sl_, (0, c0), (nzd, c0 + kw))
+            yx = (mm(lh, m[0]) + mm(lh, m[1])) + mm(ll, m[0])
+            cols.append(yx + accz[:, 128 * b:128 * (b + 1)])
+        return jnp.concatenate(cols, axis=1) if nb > 1 else cols[0]
+
+    return lap
+
+
 def _taper_rows(ctx: FDContext, mask_np) -> int:
     """Number of leading z rows (sublanes, z-major) the taper actually
     modifies, or 0 to force the fused full-grid path.
@@ -171,21 +249,21 @@ def _taper_rows(ctx: FDContext, mask_np) -> int:
     return rows
 
 
-def _make_taper_leap(ctx: FDContext, v2_ref, mask_ref, cz, cx,
+def _make_taper_leap(ctx: FDContext, v2_ref, mask_ref, lap,
                      taper_rows: int):
     """Shared tapered leapfrog step: taper src and dst, update dst from the
     tapered src (``kernel_tapper`` + ``kernel_lap`` + ``kernel_time``,
     ``fd-code.cu:264-266``), leaving src holding its tapered value.
+    ``lap`` is the in-kernel Laplacian closure from :func:`_make_lap`.
 
     Two lowerings with bitwise-identical results (see :func:`_taper_rows`):
     the fused full-grid form (default) and the strip form that multiplies
     only the ``taper_rows`` sublane rows where the mask is not 1."""
-    order = ctx.order
 
     def fused(dst, src):
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(sm, cz, cx, order))
+                     + v2_ref[:, :] * lap(sm))
         src[:, :] = sm
 
     def strip(dst, src):
@@ -194,7 +272,7 @@ def _make_taper_leap(ctx: FDContext, v2_ref, mask_ref, cz, cx,
         dst[:r, :] = dst[:r, :] * mask_ref[:r, :]
         s = src[:, :]
         dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
+                     + v2_ref[:, :] * lap(s))
 
     return strip if taper_rows else fused
 
@@ -228,14 +306,18 @@ def _src_rows(ctx: FDContext, sx, gaussian: bool) -> jnp.ndarray:
 # ==========================================================================
 
 def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
-                    v2_ref, mask_ref, wav_ref, src_ref,
-                    seis_ref, pout_ref, ppout_ref, A, B):
+                    use_mxu: bool,
+                    v2_ref, mask_ref, wav_ref, src_ref, *rest):
     """One shot of mod_main's time loop (``mod_main.cpp:146-168``), z-major.
     Buffer roles alternate per step: even it updates B from A and records A;
     odd it updates A from B and records B (the functional double buffer)."""
-    order = ctx.order
-    cz, cx = _coefs(ctx)
+    if use_mxu:
+        mxu_refs, rest = rest[:3], rest[3:]
+    else:
+        mxu_refs = None
+    seis_ref, pout_ref, ppout_ref, A, B = rest
     nt = ctx.nt
+    lap = _make_lap(ctx, mxu_refs)
 
     def step(src_buf, dst_buf, it):
         """update dst from src; inject; taper both; record row gz of src.
@@ -243,8 +325,7 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
         band rows (static slice) are rewritten with the injection folded in
         — value-level scatter-add does not lower on TPU."""
         p = src_buf[:, :]
-        upd = (2.0 * p - dst_buf[:, :]
-               + v2_ref[:, :] * lap_in_kernel(p, cz, cx, order))
+        upd = (2.0 * p - dst_buf[:, :] + v2_ref[:, :] * lap(p))
         amp = wav_ref[it, 0]
         dst_buf[:, :] = upd * mask_ref[:, :]
         band = slice(sz - r, sz + r + 1)
@@ -277,24 +358,34 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
 
 def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
                             source: str = "gaussian", taper: str = "all",
-                            interpret: bool = False):
+                            interpret: bool = False, lap_impl=None):
     """VMEM-resident forward modeling. Returns ``(p, pp, seis)`` with seis
     shaped (nt, nx) — identical contract to
     ``solver.forward_modeling(..., record='trace')``.
 
     ``sz``/``gz`` must be static ints (fixed acquisition depths, like the
-    reference); ``sx`` may be a traced per-shot scalar.
+    reference); ``sx`` may be a traced per-shot scalar. ``lap_impl``: see
+    :func:`rtm_snapshot_pallas`.
     """
     gaussian = source == "gaussian"
     r = ctx.source_patch.shape[0] // 2 if gaussian else 0
+    use_mxu = _use_mxu_lap(lap_impl)
+    wp = -(-ctx.nxe // 128) * 128 if use_mxu else ctx.nxe
     mask = jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top).T
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian)
+    v2m = _v2_operand(ctx, v2)
+    extra = []
+    if use_mxu:
+        mask = _pad_lanes(mask, wp)
+        src_rows = _pad_lanes(src_rows, wp)
+        v2m = _pad_lanes(v2m, wp)
+        extra = list(_mxu_band_inputs(ctx, wp))
 
-    kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r)
+    kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r, use_mxu)
     out_shape = (
         jax.ShapeDtypeStruct((ctx.nt, ctx.nx), jnp.float32),    # seis (t, x)
-        jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),  # p
-        jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),  # pp
+        jax.ShapeDtypeStruct((ctx.nze, wp), jnp.float32),       # p
+        jax.ShapeDtypeStruct((ctx.nze, wp), jnp.float32),       # pp
     )
     seis, p, pp = pl.pallas_call(
         kern,
@@ -304,15 +395,18 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=_wav_space(ctx.nt)),  # wavelet
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
         scratch_shapes=[
-            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
-            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, wp), jnp.float32),
+            pltpu.VMEM((ctx.nze, wp), jnp.float32),
         ],
-        compiler_params=_vmem_plan(ctx, 6, ctx.nt * ctx.nx * 4, interpret,
-                                   "forward_modeling_pallas"),
+        compiler_params=_vmem_plan(
+            ctx, 6, ctx.nt * ctx.nx * 4 + 6 * ctx.nze * (wp - ctx.nxe) * 4,
+            interpret, "forward_modeling_pallas"),
         interpret=interpret,
-    )(_v2_operand(ctx, v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows)
+    )(v2m, mask, jnp.reshape(wavelet, (ctx.nt, 1)), src_rows, *extra)
+    p = p[:, :ctx.nxe]
+    pp = pp[:, :ctx.nxe]
     return jnp.transpose(p), jnp.transpose(pp), seis
 
 
@@ -321,8 +415,9 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
 # ==========================================================================
 
 def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
+                use_mxu: bool,
                 v2_ref, mask_ref, wav_ref, src_ref, dobs_ref,
-                imloc_ref, A, B, C, D):
+                *rest):
     """fd_forward + fd_back in one kernel, z-major.
 
     Forward (``fd-code.cu:259-267``): per step swap, taper both, update,
@@ -336,16 +431,19 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
     accumulates ``imloc += p * ppr`` every step (borders sliced off by the
     caller).
     """
-    order = ctx.order
-    cz, cx = _coefs(ctx)
+    if use_mxu:
+        mxu_refs, rest = rest[:3], rest[3:]
+    else:
+        mxu_refs = None
+    imloc_ref, A, B, C, D = rest
     nt = ctx.nt
+    lap = _make_lap(ctx, mxu_refs)
 
     def leap(dst, src):
         s = src[:, :]
-        dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
+        dst[:, :] = (2.0 * s - dst[:, :] + v2_ref[:, :] * lap(s))
 
-    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, cz, cx, taper_rows)
+    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, lap, taper_rows)
 
     # ---------------- forward ----------------
     A[:, :] = jnp.zeros_like(A)
@@ -412,44 +510,59 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
 
 
 def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
-                        gz: int, interpret: bool = False):
+                        gz: int, interpret: bool = False, lap_impl=None):
     """Whole-shot two-snapshot RTM in a single Pallas kernel.
 
     Args match ``solver.rtm_shot_snapshot``: ``dobs`` is (nx, nt) observed
     data (interior receivers); ``sz``/``gz`` static ints, ``sx`` traced.
     Returns the (nx, nz) per-shot image.
+
+    ``lap_impl``: None reads ``PFDC_LAP_IMPL``; ``"mxu"`` pads the lane
+    (x) axis to a 128 multiple and computes the x taps as banded MXU
+    matmuls (manual 3-pass bf16 — see :func:`_make_lap`); the pad lanes
+    carry zero mask/v2 so the fields stay exactly zero there.
     """
     mask_np = np.transpose(np.asarray(ctx.mask_top))
+    use_mxu = _use_mxu_lap(lap_impl)
+    wp = -(-ctx.nxe // 128) * 128 if use_mxu else ctx.nxe
     mask = jnp.asarray(mask_np)
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
     # time-major receivers at interior width, pre-reversed: row it =
     # dobs[:, nt-1-it]; injected at static lane offset nxb (kernel_sism,
     # fd-code.cu:124-131)
     dobs_tx = dobs[:, ::-1].astype(jnp.float32).T  # (nt, nx)
+    v2m = _v2_operand(ctx, v2)
+    extra = []
+    if use_mxu:
+        mask = _pad_lanes(mask, wp)
+        src_rows = _pad_lanes(src_rows, wp)
+        v2m = _pad_lanes(v2m, wp)
+        extra = list(_mxu_band_inputs(ctx, wp))
 
     kern = functools.partial(_rtm_kernel, ctx, gz, sz,
-                             _taper_rows(ctx, mask_np))
+                             _taper_rows(ctx, mask_np), use_mxu)
     imloc_ext = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ctx.nze, wp), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=_wav_space(ctx.nt)),  # wavelet
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
         scratch_shapes=[
-            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
-            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
-            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
-            pltpu.VMEM((ctx.nze, ctx.nxe), jnp.float32),
+            pltpu.VMEM((ctx.nze, wp), jnp.float32),
+            pltpu.VMEM((ctx.nze, wp), jnp.float32),
+            pltpu.VMEM((ctx.nze, wp), jnp.float32),
+            pltpu.VMEM((ctx.nze, wp), jnp.float32),
         ],
-        compiler_params=_vmem_plan(ctx, 7, ctx.nt * ctx.nx * 4, interpret,
-                                   "rtm_snapshot_pallas"),
+        compiler_params=_vmem_plan(
+            ctx, 7, ctx.nt * ctx.nx * 4 + 7 * ctx.nze * (wp - ctx.nxe) * 4,
+            interpret, "rtm_snapshot_pallas"),
         interpret=interpret,
-    )(_v2_operand(ctx, v2), mask, jnp.reshape(wavelet, (ctx.nt, 1)),
-      src_rows, dobs_tx)
+    )(v2m, mask, jnp.reshape(wavelet, (ctx.nt, 1)),
+      src_rows, dobs_tx, *extra)
     interior = imloc_ext[ctx.nzb:ctx.nze - ctx.nzb,
                          ctx.nxb:ctx.nxe - ctx.nxb]
     return jnp.transpose(interior)
@@ -467,9 +580,9 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
 def _fwd_gpu_kernel(ctx: FDContext, sz: int, taper_rows: int,
                     v2_ref, mask_ref, wav_ref, src_ref,
                     pout_ref, ppout_ref, A, B):
-    cz, cx = _coefs(ctx)
     nt = ctx.nt
-    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, cz, cx, taper_rows)
+    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, _make_lap(ctx),
+                                  taper_rows)
 
     def fstep(dst, src, it):
         taper_leap(dst, src)
@@ -494,15 +607,13 @@ def _fwd_gpu_kernel(ctx: FDContext, sz: int, taper_rows: int,
 def _bwd_gpu_kernel(ctx: FDContext, gz: int, taper_rows: int,
                     v2_ref, mask_ref, snapP_in, snapPP_in, dobs_ref,
                     imloc_ref, A, B, C, D):
-    order = ctx.order
-    cz, cx = _coefs(ctx)
     nt = ctx.nt
-    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, cz, cx, taper_rows)
+    lap = _make_lap(ctx)
+    taper_leap = _make_taper_leap(ctx, v2_ref, mask_ref, lap, taper_rows)
 
     def leap(dst, src):
         s = src[:, :]
-        dst[:, :] = (2.0 * s - dst[:, :]
-                     + v2_ref[:, :] * lap_in_kernel(s, cz, cx, order))
+        dst[:, :] = (2.0 * s - dst[:, :] + v2_ref[:, :] * lap(s))
 
     snapP, snapPP = A, B
     snapP[:, :] = snapP_in[:, :]
