@@ -101,6 +101,20 @@ class TestWholeShotKernels:
                  ctx, v2, wav, dobs, sx, 5, 5),
              v2, wav, dobs, jnp.int32(40))
 
+    def test_rtm_snapshot_mxu(self, tpu_sharding, small):
+        """The MXU lane-tap fast path (banded block matmuls, manual 3-pass
+        bf16) compiles: exercises the bf16 hi/lo splits, the in-kernel
+        dot_generals, and the 128-aligned lane concat of the block
+        results."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            rtm_snapshot_pallas)
+        ctx, v2, wav = small
+        dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
+        _aot(tpu_sharding,
+             lambda v2, wav, dobs, sx: rtm_snapshot_pallas(
+                 ctx, v2, wav, dobs, sx, 5, 5, lap_impl="mxu"),
+             v2, wav, dobs, jnp.int32(40))
+
     def test_forward_modeling(self, tpu_sharding, small):
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             forward_modeling_pallas)
@@ -108,6 +122,15 @@ class TestWholeShotKernels:
         _aot(tpu_sharding,
              lambda v2, wav, sx: forward_modeling_pallas(
                  ctx, v2, wav, sx, 5, 5),
+             v2, wav, jnp.int32(40))
+
+    def test_forward_modeling_mxu(self, tpu_sharding, small):
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
+            forward_modeling_pallas)
+        ctx, v2, wav = small
+        _aot(tpu_sharding,
+             lambda v2, wav, sx: forward_modeling_pallas(
+                 ctx, v2, wav, sx, 5, 5, lap_impl="mxu"),
              v2, wav, jnp.int32(40))
 
     def test_split_fwd_bwd(self, tpu_sharding, small):
@@ -173,6 +196,19 @@ class TestStencilKernels:
         p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
         _aot(tpu_sharding,
              lambda p: laplacian_pallas_padded(p, cx, cz, 8, nx, nz), p)
+
+    def test_padded_mxu(self, tpu_sharding, rng_mod):
+        """The MXU z-tap variant of the padded stencil kernel compiles at a
+        width with middle band blocks (W=384+)."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import laplacian_pallas_padded, padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nx, nz = 231, 500
+        R, W, _, _ = padded_layout(nx, nz, 8, 128)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p: laplacian_pallas_padded(p, cx, cz, 8, nx, nz, 128,
+                                               impl="mxu"), p)
 
 
 class TestMultiChip:

@@ -300,6 +300,59 @@ def config6c_upstream_norms(quick: bool = False):
            "norm_rev/norm_imloc: negative result, docs/NORMS.md")
 
 
+def config6d_mxu_fast_path(quick: bool = False):
+    """The MXU lane-tap fast path (``PFDC_LAP_IMPL=mxu``; ~2x the exact
+    whole-shot kernel, docs/PALLAS_NOTES.md) vs the C oracle at full
+    configuration — the external value gate that makes the fast path
+    headline-eligible. Marmousi (369x375, nt=3004, dz=8 != dx=25) is the
+    hardest accuracy case: 3004 forward + 3004 backward steps compound
+    the ~4e-6/apply manual-bf16_3x rounding, with anisotropic spacing."""
+    if jax.devices()[0].platform != "tpu":
+        record("6d. MXU fast path vs C oracle", "SKIP",
+               "TPU-only (compiled Mosaic)", "PFDC_LAP_IMPL=mxu")
+        return
+    import tempfile
+    from parallel_finite_difference_computation_tpu.utils.oracle import (
+        gpu_goldens)
+    runs = ["3lay_gpu"] if quick else ["3lay_gpu", "marmousi"]
+    old = os.environ.get("PFDC_LAP_IMPL")
+    os.environ["PFDC_LAP_IMPL"] = "mxu"
+    try:
+        for name in runs:
+            try:
+                paths = gpu_goldens(name)
+            except FileNotFoundError as e:
+                record(f"6d. MXU fast path vs C oracle ({name})", "SKIP",
+                       "reference artifact missing", str(e)[:40])
+                continue
+            p = pfdc.parse_input_dat(str(paths["input_parity"]))
+            with tempfile.TemporaryDirectory() as td:
+                try:
+                    img, imlocs = pipeline.run_rtm_gpu(p, backend="pallas",
+                                                       outdir=td)
+                except Exception as e:
+                    record(f"6d. MXU fast path vs C oracle ({name})",
+                           "FAIL", f"{type(e).__name__}: {str(e)[:80]}",
+                           f"ns={p.ns} nt={p.nt} {p.nx}x{p.nz}")
+                    continue
+            golden = np.fromfile(paths["dir_image"],
+                                 np.float32).reshape(p.nx, p.nz)
+            gims = np.fromfile(paths["imlocs"],
+                               np.float32).reshape(p.ns, p.nx, p.nz)
+            r = rel_rms(np.asarray(img), golden)
+            rs = max(rel_rms(np.asarray(imlocs[i]), gims[i])
+                     for i in range(p.ns))
+            record(f"6d. MXU fast path vs C oracle ({name})",
+                   "PASS" if r < GATE and rs < GATE else "FAIL",
+                   f"image {r:.2e}, worst shot {rs:.2e}",
+                   f"PFDC_LAP_IMPL=mxu, ns={p.ns} nt={p.nt} {p.nx}x{p.nz}")
+    finally:
+        if old is None:
+            os.environ.pop("PFDC_LAP_IMPL", None)
+        else:
+            os.environ["PFDC_LAP_IMPL"] = old
+
+
 def config7_rtm_main_multishot():
     """Multi-shot rtm_main parity (ns=3 golden from the rebuilt reference
     binaries, incl. the cross-shot it=0 flat-read quirk)."""
@@ -421,6 +474,7 @@ def main():
     config5_domain_division(quick=args.quick)
     config6_gpu_oracle(quick=args.quick)
     config6c_upstream_norms(quick=args.quick)
+    config6d_mxu_fast_path(quick=args.quick)
     config7_rtm_main_multishot()
     config8_spluto()
     config9_pluto_scale()
