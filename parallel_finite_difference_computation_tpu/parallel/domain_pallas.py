@@ -41,7 +41,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.stencil import lap_in_kernel
-from ..ops.pallas_fd import _STACK_GRIDS, _VMEM_PER_CORE, vmem_params
+from ..ops.pallas_fd import (_STACK_GRIDS, _VMEM_PER_CORE, vmem_params,
+                             _make_lap, _mxu_band_inputs, _use_mxu_lap)
 from ..solver import FDContext
 
 __all__ = ["make_sharded_rtm_snapshot_pallas",
@@ -74,39 +75,57 @@ def _block_vmem_params(ctx: FDContext, nxw: int, n_bufs: int,
     return vmem_params(slab * (n_bufs + _STACK_GRIDS))
 
 
-def halo_exchange_lanes(field, H: int, axis_name: str, n_shards: int):
+def halo_exchange_lanes(field, H: int, axis_name: str, n_shards: int,
+                        pad_to: int = 0):
     """(nze, nxl) z-major local slab -> (nze, nxl + 2H) with H lanes of halo
     from each x-neighbour; global-edge shards get zero halos (ppermute
-    leaves devices that are not a target of any (src, dst) pair zeroed)."""
+    leaves devices that are not a target of any (src, dst) pair zeroed).
+    ``pad_to``: append zero lanes up to this width (the MXU tap path wants
+    128-multiple slabs; the zero tail is inert — zero mask/v2 — and only
+    *adds* margin to the blocked scheme's halo-invalidation contract)."""
+    nxw = field.shape[-1] + 2 * H
+    parts_tail = []
+    if pad_to > nxw:
+        parts_tail = [jnp.zeros(field.shape[:-1] + (pad_to - nxw,),
+                                field.dtype)]
     if n_shards == 1:
         z = jnp.zeros(field.shape[:-1] + (H,), field.dtype)
-        return jnp.concatenate([z, field, z], axis=-1)
+        return jnp.concatenate([z, field, z] + parts_tail, axis=-1)
     from_left = jax.lax.ppermute(
         field[..., -H:], axis_name, [(i, i + 1) for i in range(n_shards - 1)])
     from_right = jax.lax.ppermute(
         field[..., :H], axis_name, [(i + 1, i) for i in range(n_shards - 1)])
-    return jnp.concatenate([from_left, field, from_right], axis=-1)
+    return jnp.concatenate([from_left, field, from_right] + parts_tail,
+                           axis=-1)
 
 
 # --------------------------------------------------------------------------
 # Block kernels (z-major; lanes = nxw = nxl + 2H)
 # --------------------------------------------------------------------------
 
-def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
-                      v2m_ref, mask_ref, src_ref, wav_ref,
-                      p_in, pp_in, p_out, pp_out, X, Y):
+def _lap_and_refs(ctx, use_mxu, rest):
+    """Split the optional MXU band-matrix refs off ``rest`` and build the
+    in-kernel Laplacian closure (:func:`...ops.pallas_fd._make_lap`; the
+    blocked kernels are z-major too, so the band holds coefs_x)."""
+    if use_mxu:
+        return _make_lap(ctx, rest[:3]), rest[3:]
+    return _make_lap(ctx, None), rest
+
+
+def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int, use_mxu: bool,
+                      v2m_ref, mask_ref, src_ref, wav_ref, *rest):
     """K forward steps (fd-code.cu:259-267 semantics) on the halo-extended
     slab. Carry contract matches the sharded-lax fstep: in/out are the
     (tapered p, freshly updated pp) pair on the device's own nxl lanes."""
-    cz = [float(v) for v in ctx.coefs_z]
-    cx = [float(v) for v in ctx.coefs_x]
+    lap, (p_in, pp_in, p_out, pp_out, X, Y) = _lap_and_refs(ctx, use_mxu,
+                                                            rest)
     X[:, :] = p_in[:, :]
     Y[:, :] = pp_in[:, :]
     for k in range(K):
         dst, src = (X, Y) if k % 2 == 0 else (Y, X)
         sm = src[:, :] * mask_ref[:, :]
         dst[:, :] = (2.0 * sm - dst[:, :] * mask_ref[:, :]
-                     + v2m_ref[:, :] * lap_in_kernel(sm, cz, cx, ctx.order))
+                     + v2m_ref[:, :] * lap(sm))
         src[:, :] = sm
         dst[sz:sz + 1, :] += wav_ref[k, 0] * src_ref[:, :]
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
@@ -115,20 +134,19 @@ def _fwd_block_kernel(ctx, sz: int, K: int, nxl: int, H: int,
 
 
 def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
-                      v2m_ref, mask_ref, dobs_ref, *refs):
+                      use_mxu: bool, v2m_ref, mask_ref, dobs_ref, *refs):
     """K backward steps (fd-code.cu:302-333 semantics): source pair
     re-propagated in reverse without taper, receiver pair tapered + data
     injected, imaging delta on the device's own lanes. ``seed=True`` is the
     first block: steps 0 and 1 load the forward snapshots (passed extended)
     instead of leapfrogging."""
+    lap, refs = _lap_and_refs(ctx, use_mxu, refs)
     if seed:
         (snap0_ref, snap1_ref, p_in, pp_in, pr_in, ppr_in,
          p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V, IM) = refs
     else:
         (p_in, pp_in, pr_in, ppr_in,
          p_out, pp_out, pr_out, ppr_out, im_ref, X, Y, U, V, IM) = refs
-    cz = [float(v) for v in ctx.coefs_z]
-    cx = [float(v) for v in ctx.coefs_x]
     ctr = slice(H, H + nxl)
 
     X[:, :] = p_in[:, :]
@@ -151,13 +169,10 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
             dst_s[:, :] = snap0_ref[:, :]
         else:
             s = src_s[:, :]
-            dst_s[:, :] = (2.0 * s - dst_s[:, :]
-                           + v2m_ref[:, :]
-                           * lap_in_kernel(s, cz, cx, ctx.order))
+            dst_s[:, :] = (2.0 * s - dst_s[:, :] + v2m_ref[:, :] * lap(s))
         sm = src_r[:, :] * mask_ref[:, :]
         dst_r[:, :] = (2.0 * sm - dst_r[:, :] * mask_ref[:, :]
-                       + v2m_ref[:, :]
-                       * lap_in_kernel(sm, cz, cx, ctx.order))
+                       + v2m_ref[:, :] * lap(sm))
         src_r[:, :] = sm
         dst_r[gz:gz + 1, :] += dobs_ref[k:k + 1, :]
         IM[:, :] += dst_s[:, :] * dst_r[:, :]
@@ -172,22 +187,21 @@ def _bwd_block_kernel(ctx, gz: int, K: int, nxl: int, H: int, seed: bool,
 
 
 def _mod_block_kernel(ctx, sz: int, gz: int, r: int, K: int, nxl: int,
-                      H: int, v2m_ref, mask_ref, src_ref, wav_ref,
-                      p_in, pp_in, seis_ref, p_out, pp_out, X, Y):
+                      H: int, use_mxu: bool,
+                      v2m_ref, mask_ref, src_ref, wav_ref, *rest):
     """K forward-modeling steps (``mod_main.cpp:146-168`` semantics:
     update, inject, taper both, record row gz of the tapered old field) on
     the halo-extended slab; seismogram rows recorded on the device's own
     lanes only."""
-    cz = [float(v) for v in ctx.coefs_z]
-    cx = [float(v) for v in ctx.coefs_x]
+    lap, (p_in, pp_in, seis_ref, p_out, pp_out, X, Y) = _lap_and_refs(
+        ctx, use_mxu, rest)
     band = slice(sz - r, sz + r + 1)
     X[:, :] = p_in[:, :]
     Y[:, :] = pp_in[:, :]
     for k in range(K):
         src, dst = (X, Y) if k % 2 == 0 else (Y, X)
         p = src[:, :]
-        upd = (2.0 * p - dst[:, :]
-               + v2m_ref[:, :] * lap_in_kernel(p, cz, cx, ctx.order))
+        upd = (2.0 * p - dst[:, :] + v2m_ref[:, :] * lap(p))
         dst[:, :] = upd * mask_ref[:, :]
         dst[band, :] = ((upd[band, :] + wav_ref[k, 0] * src_ref[:, :])
                         * mask_ref[band, :])
@@ -208,7 +222,8 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
                                          source: str = "gaussian",
                                          taper: str = "all",
                                          block_k: int = 8,
-                                         interpret: bool = False):
+                                         interpret: bool = False,
+                                         lap_impl=None):
     """Shot+x-domain-parallel forward modeling with blocked VMEM kernels —
     the fused production path for ``mod_main`` at pod scale (same
     communication-avoiding scheme as
@@ -218,6 +233,9 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
     ``sxs`` (ns,) absolute source lanes, and ``seis`` (ns, nt, nxe)
     extended-row seismograms — the contract of
     :func:`.domain.make_sharded_forward_modeling` with positional sources.
+    ``lap_impl``: see :func:`...ops.pallas_fd.rtm_snapshot_pallas` (the
+    MXU tap path pads the slab to 128-multiple lanes; the zero tail is
+    inert and only widens the halo-invalidation margin).
     """
     n_x = mesh.shape["x"]
     nxe_pad = -(-ctx.nxe // n_x) * n_x     # zero-pad (see RTM wrapper note)
@@ -230,59 +248,67 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
             f"halo width K*h={H} exceeds the local slab width nxl={nxl}; "
             f"lower block_k to <= {nxl // h} or use fewer x shards")
     nxw = nxl + 2 * H
+    use_mxu = _use_mxu_lap(lap_impl)
+    nxww = -(-nxw // 128) * 128 if use_mxu else nxw
+    mxu_in = list(_mxu_band_inputs(ctx, nxww)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)
     gaussian = source == "gaussian"
     r = ctx.source_patch.shape[0] // 2 if gaussian else 0
     mask_glob = jnp.asarray(np.pad(
         np.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
         ((0, nxe_pad - ctx.nxe), (0, 0))))
-    cp = _block_vmem_params(ctx, nxw, 10,  # 3 in + 3 out + 2 scratch + margin
+    cp = _block_vmem_params(ctx, nxww, 10,  # 3 in + 3 out + 2 scratch + margin
                             interpret=interpret)
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
 
     def _call(k_steps):
         kern = functools.partial(_mod_block_kernel, ctx, sz, gz, r, k_steps,
-                                 nxl, H)
+                                 nxl, H, use_mxu)
         return pl.pallas_call(
             kern,
             out_shape=(jax.ShapeDtypeStruct((k_steps, nxl), jnp.float32),
                        slab, slab),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            scratch_shapes=[pltpu.VMEM((ctx.nze, nxw), jnp.float32)] * 2,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(mxu_in)),
+            scratch_shapes=[pltpu.VMEM((ctx.nze, nxww), jnp.float32)] * 2,
             compiler_params=cp,
             interpret=interpret,
         )
 
     def body(v2, sx, wavelet):
         row0 = jax.lax.axis_index("x") * nxl
-        glob = row0 - H + jnp.arange(nxw)
-        lane = ((glob >= h) & (glob < ctx.nxe - h)).astype(jnp.float32)
+        idx = jnp.arange(nxww)
+        glob = row0 - H + idx
+        valid = idx < nxw
+        lane = ((glob >= h) & (glob < ctx.nxe - h)
+                & valid).astype(jnp.float32)
         zrow = ((jnp.arange(ctx.nze) >= h)
                 & (jnp.arange(ctx.nze) < ctx.nze - h)).astype(jnp.float32)
         mask_l = jax.lax.dynamic_slice(mask_glob, (row0, 0), (nxl, ctx.nze))
-        mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x)
+        mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x, pad_to=nxww)
         # full interior mask folded into v2 (x via lanes, z via sublanes):
         # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
-        v2m_e = (halo_exchange_lanes(v2.T, H, "x", n_x)
+        v2m_e = (halo_exchange_lanes(v2.T, H, "x", n_x, pad_to=nxww)
                  * lane[None, :] * zrow[:, None] * jnp.float32(ctx.dt2))
         dx = (glob - sx).astype(jnp.float32)
         if gaussian:
             dzr = jnp.arange(-r, r + 1, dtype=jnp.float32)[:, None]
             rows = jnp.exp(-dzr * dzr - dx * dx)
-            src_row = jnp.where(jnp.abs(dx) <= r, rows, 0.0)
+            src_row = jnp.where((jnp.abs(dx) <= r) & valid[None, :], rows,
+                                0.0)
         else:
-            src_row = (glob == sx).astype(jnp.float32)[None, :]
+            src_row = ((glob == sx) & valid).astype(jnp.float32)[None, :]
         wav2 = wavelet.reshape(ctx.nt, 1)
         zc = jnp.zeros((ctx.nze, nxl), jnp.float32)
         call_k = _call(K)
 
         def block(carry, xs):
             p, pp = carry
-            pe = halo_exchange_lanes(p, H, "x", n_x)
-            ppe = halo_exchange_lanes(pp, H, "x", n_x)
-            seis, p2, pp2 = call_k(v2m_e, mask_e, src_row, xs, pe, ppe)
+            pe = halo_exchange_lanes(p, H, "x", n_x, pad_to=nxww)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x, pad_to=nxww)
+            seis, p2, pp2 = call_k(v2m_e, mask_e, src_row, xs, *mxu_in,
+                                   pe, ppe)
             return (p2, pp2), seis
 
         (p, pp), seis = jax.lax.scan(block, (zc, zc),
@@ -290,10 +316,10 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
         seis = seis.reshape(nb * K, nxl)
         if tail:
             call_t = _call(tail)
-            pe = halo_exchange_lanes(p, H, "x", n_x)
-            ppe = halo_exchange_lanes(pp, H, "x", n_x)
+            pe = halo_exchange_lanes(p, H, "x", n_x, pad_to=nxww)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x, pad_to=nxww)
             seis_t, _, _ = call_t(v2m_e, mask_e, src_row, wav2[nb * K:],
-                                  pe, ppe)
+                                  *mxu_in, pe, ppe)
             seis = jnp.concatenate([seis, seis_t], axis=0)
         return seis
 
@@ -319,7 +345,8 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
 
 def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
                                      gz: int, block_k: int = 8,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     lap_impl=None):
     """Build a jitted shot+x-domain-parallel two-snapshot RTM whose per-
     device compute runs in VMEM-resident blocked Pallas kernels with
     ``ppermute`` halo exchange every ``block_k`` steps.
@@ -353,24 +380,28 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
         raise ValueError(f"nt={ctx.nt} < 2*block_k={2 * K}; use the lax "
                          f"path (make_sharded_rtm_snapshot) for tiny runs")
     nxw = nxl + 2 * H
+    use_mxu = _use_mxu_lap(lap_impl)
+    nxww = -(-nxw // 128) * 128 if use_mxu else nxw
+    mxu_in = list(_mxu_band_inputs(ctx, nxww)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)
     mask_glob = jnp.asarray(np.pad(np.asarray(ctx.mask_top),
                                    ((0, nxe_pad - ctx.nxe), (0, 0))))
     # fwd: 5 in + 2 out + 2 scratch; bwd(seed): 9 in + 5 out + 5 scratch
-    cp = _block_vmem_params(ctx, nxw, 10, interpret=interpret)
-    cp_bwd = _block_vmem_params(ctx, nxw, 20, interpret=interpret)
+    cp = _block_vmem_params(ctx, nxww, 10, interpret=interpret)
+    cp_bwd = _block_vmem_params(ctx, nxww, 20, interpret=interpret)
 
     slab = jax.ShapeDtypeStruct((ctx.nze, nxl), jnp.float32)
-    scratch_w = [pltpu.VMEM((ctx.nze, nxw), jnp.float32)]
+    scratch_w = [pltpu.VMEM((ctx.nze, nxww), jnp.float32)]
 
     def _fwd_call(k_steps):
-        kern = functools.partial(_fwd_block_kernel, ctx, sz, k_steps, nxl, H)
+        kern = functools.partial(_fwd_block_kernel, ctx, sz, k_steps, nxl, H,
+                                 use_mxu)
         return pl.pallas_call(
             kern,
             out_shape=(slab, slab),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(mxu_in)),
             scratch_shapes=scratch_w * 2,
             compiler_params=cp,
             interpret=interpret,
@@ -378,8 +409,8 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
 
     def _bwd_call(k_steps, seed):
         kern = functools.partial(_bwd_block_kernel, ctx, gz, k_steps, nxl, H,
-                                 seed)
-        n_in = 3 + (2 if seed else 0) + 4
+                                 seed, use_mxu)
+        n_in = 3 + len(mxu_in) + (2 if seed else 0) + 4
         return pl.pallas_call(
             kern,
             out_shape=(slab,) * 5,
@@ -392,20 +423,24 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     def body(v2, sx, dobs_ext, wavelet):
         # ---- per-shot halo-extended static operands (z-major) ----
         row0 = jax.lax.axis_index("x") * nxl
-        glob = row0 - H + jnp.arange(nxw)
-        lane = ((glob >= h) & (glob < ctx.nxe - h)).astype(jnp.float32)
+        idx = jnp.arange(nxww)
+        glob = row0 - H + idx
+        valid = idx < nxw
+        lane = ((glob >= h) & (glob < ctx.nxe - h)
+                & valid).astype(jnp.float32)
         zrow = ((jnp.arange(ctx.nze) >= h)
                 & (jnp.arange(ctx.nze) < ctx.nze - h)).astype(jnp.float32)
         mask_l = jax.lax.dynamic_slice(mask_glob, (row0, 0),
                                        (nxl, ctx.nze))
-        mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x)
-        v2_e = halo_exchange_lanes(v2.T, H, "x", n_x)
+        mask_e = halo_exchange_lanes(mask_l.T, H, "x", n_x, pad_to=nxww)
+        v2_e = halo_exchange_lanes(v2.T, H, "x", n_x, pad_to=nxww)
         # full interior mask folded into v2 (x via lanes, z via sublanes):
         # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
         v2m_e = (v2_e * lane[None, :] * zrow[:, None]
                  * jnp.float32(ctx.dt2))
-        src_row = (glob == sx).astype(jnp.float32)[None, :]
-        dobs_e = halo_exchange_lanes(dobs_ext.T, H, "x", n_x)  # (nt, nxw)
+        src_row = ((glob == sx) & valid).astype(jnp.float32)[None, :]
+        dobs_e = halo_exchange_lanes(dobs_ext.T, H, "x", n_x,
+                                     pad_to=nxww)  # (nt, nxww)
         wav2 = wavelet.reshape(ctx.nt, 1)
 
         zc = jnp.zeros((ctx.nze, nxl), jnp.float32)
@@ -415,55 +450,56 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
 
         def fwd_block(carry, xs):
             p, pp = carry
-            pe = halo_exchange_lanes(p, H, "x", n_x)
-            ppe = halo_exchange_lanes(pp, H, "x", n_x)
-            p2, pp2 = fwd_k(v2m_e, mask_e, src_row, xs, pe, ppe)
+            pe = halo_exchange_lanes(p, H, "x", n_x, pad_to=nxww)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x, pad_to=nxww)
+            p2, pp2 = fwd_k(v2m_e, mask_e, src_row, xs, *mxu_in, pe, ppe)
             return (p2, pp2), None
 
         wav_blocks = wav2[:nb * K].reshape(nb, K, 1)
         (p, pp), _ = jax.lax.scan(fwd_block, (zc, zc), wav_blocks)
         if tail:
             fwd_t = _fwd_call(tail)
-            pe = halo_exchange_lanes(p, H, "x", n_x)
-            ppe = halo_exchange_lanes(pp, H, "x", n_x)
-            p, pp = fwd_t(v2m_e, mask_e, src_row, wav2[nb * K:], pe, ppe)
+            pe = halo_exchange_lanes(p, H, "x", n_x, pad_to=nxww)
+            ppe = halo_exchange_lanes(pp, H, "x", n_x, pad_to=nxww)
+            p, pp = fwd_t(v2m_e, mask_e, src_row, wav2[nb * K:], *mxu_in,
+                          pe, ppe)
         # carry contract == lax fstep: (snap0, snap1) = final (p, pp)
         snap0, snap1 = p, pp
 
         # ---- backward: seeded first block, then generic blocks + tail ----
         # receiver rows, pre-reversed: row it = dobs[:, nt-1-it]
-        inj = dobs_e[::-1]  # (nt, nxw)
+        inj = dobs_e[::-1]  # (nt, nxww)
         bwd0 = _bwd_call(K, seed=True)
         bwd_k = _bwd_call(K, seed=False)
 
-        snap0_e = halo_exchange_lanes(snap0, H, "x", n_x)
-        snap1_e = halo_exchange_lanes(snap1, H, "x", n_x)
+        snap0_e = halo_exchange_lanes(snap0, H, "x", n_x, pad_to=nxww)
+        snap1_e = halo_exchange_lanes(snap1, H, "x", n_x, pad_to=nxww)
 
         def exchange4(p, pp, pr, ppr):
-            return (halo_exchange_lanes(p, H, "x", n_x),
-                    halo_exchange_lanes(pp, H, "x", n_x),
-                    halo_exchange_lanes(pr, H, "x", n_x),
-                    halo_exchange_lanes(ppr, H, "x", n_x))
+            return (halo_exchange_lanes(p, H, "x", n_x, pad_to=nxww),
+                    halo_exchange_lanes(pp, H, "x", n_x, pad_to=nxww),
+                    halo_exchange_lanes(pr, H, "x", n_x, pad_to=nxww),
+                    halo_exchange_lanes(ppr, H, "x", n_x, pad_to=nxww))
 
-        p, pp, pr, ppr, im = bwd0(v2m_e, mask_e, inj[:K],
+        p, pp, pr, ppr, im = bwd0(v2m_e, mask_e, inj[:K], *mxu_in,
                                   snap0_e, snap1_e,
                                   *exchange4(zc, zc, zc, zc))
 
         def bwd_block(carry, xs):
             p, pp, pr, ppr, im = carry
-            p2, pp2, pr2, ppr2, d = bwd_k(v2m_e, mask_e, xs,
+            p2, pp2, pr2, ppr2, d = bwd_k(v2m_e, mask_e, xs, *mxu_in,
                                           *exchange4(p, pp, pr, ppr))
             return (p2, pp2, pr2, ppr2, im + d), None
 
         nb_b, tail_b = divmod(ctx.nt - K, K)
         if nb_b:
-            blocks = inj[K:K + nb_b * K].reshape(nb_b, K, nxw)
+            blocks = inj[K:K + nb_b * K].reshape(nb_b, K, nxww)
             (p, pp, pr, ppr, im), _ = jax.lax.scan(
                 bwd_block, (p, pp, pr, ppr, im), blocks)
         if tail_b:
             bwd_t = _bwd_call(tail_b, seed=False)
             _, _, _, _, d = bwd_t(v2m_e, mask_e, inj[ctx.nt - tail_b:],
-                                  *exchange4(p, pp, pr, ppr))
+                                  *mxu_in, *exchange4(p, pp, pr, ppr))
             im = im + d
 
         # K6 interior restriction distributes over the step sum exactly

@@ -198,7 +198,7 @@ class TestDomainPallas:
     """Blocked halo-exchange Pallas RTM (communication-avoiding x-domain
     decomposition; parallel/domain_pallas.py) vs the unsharded path."""
 
-    def _run(self, rng, mesh4, nt, block_k):
+    def _run(self, rng, mesh4, nt, block_k, lap_impl=None, atol=2e-6):
         from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
             import make_sharded_rtm_snapshot_pallas
         # nxe=64 over 4 x-shards -> nxl=16 >= H=K*h (halo fits one hop)
@@ -211,7 +211,8 @@ class TestDomainPallas:
         dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
         fn = make_sharded_rtm_snapshot_pallas(ctx, mesh4, sz, gz,
                                               block_k=block_k,
-                                              interpret=True)
+                                              interpret=True,
+                                              lap_impl=lap_impl)
         im_ext = np.asarray(fn(v2, sxs, wav, embed_dobs(ctx, dobs)))
         got = im_ext[:, ctx.nxb:ctx.nxe - ctx.nxb,
                      ctx.nzb:ctx.nze - ctx.nzb]
@@ -221,7 +222,7 @@ class TestDomainPallas:
                                          int(sxs[i]), sz, gz))
             for i in range(ns)])
         scale = np.abs(ref).max() or 1.0
-        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+        np.testing.assert_allclose(got / scale, ref / scale, atol=atol)
 
     def test_block_vmem_fail_fast(self):
         """Slabs whose tight buffer bound cannot fit core VMEM are refused
@@ -246,6 +247,13 @@ class TestDomainPallas:
     def test_matches_unsharded_odd_block(self, rng, mesh4):
         # odd K exercises the parity-aware output mapping
         self._run(rng, mesh4, nt=21, block_k=3)
+
+    def test_matches_unsharded_mxu_taps(self, rng, mesh4):
+        """lap_impl='mxu' on the blocked domain kernels: the slab (nxw=48)
+        pads to 128 lanes, the zero tail stays inert, and the sharded image
+        matches the unsharded exact path to the manual-bf16_3x tolerance
+        (tails exercised: nt=42, K=4)."""
+        self._run(rng, mesh4, nt=42, block_k=4, lap_impl="mxu", atol=1e-4)
 
     def test_source_near_shard_edge(self, rng, mesh4):
         """Source lane adjacent to a shard boundary: its injection must
@@ -300,9 +308,12 @@ class TestRtmGpuDomainMesh:
 class TestModDomainPallas:
     """Blocked-kernel sharded forward modeling vs the unsharded solver."""
 
-    @pytest.mark.parametrize("source,taper,nt,k", [
-        ("point", "top", 40, 4), ("gaussian", "all", 42, 4)])
-    def test_matches_unsharded(self, rng, mesh4, source, taper, nt, k):
+    @pytest.mark.parametrize("source,taper,nt,k,lap_impl,atol", [
+        ("point", "top", 40, 4, None, 2e-6),
+        ("gaussian", "all", 42, 4, None, 2e-6),
+        ("gaussian", "all", 42, 4, "mxu", 1e-4)])
+    def test_matches_unsharded(self, rng, mesh4, source, taper, nt, k,
+                               lap_impl, atol):
         from parallel_finite_difference_computation_tpu.parallel.domain_pallas \
             import make_sharded_forward_modeling_pallas
         from parallel_finite_difference_computation_tpu.solver import (
@@ -315,7 +326,8 @@ class TestModDomainPallas:
         wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
         fn = make_sharded_forward_modeling_pallas(ctx, mesh4, sz, gz,
                                                   source=source, taper=taper,
-                                                  block_k=k, interpret=True)
+                                                  block_k=k, interpret=True,
+                                                  lap_impl=lap_impl)
         seis = np.asarray(fn(v2, sxs, wav))[:, :, ctx.nxb:ctx.nxb + ctx.nx]
         ref = np.stack([
             np.asarray(forward_modeling(ctx, jnp.asarray(v2[i]), wav,
@@ -323,7 +335,7 @@ class TestModDomainPallas:
                                         taper=taper, record="trace")[2])
             for i in range(ns)])
         scale = np.abs(ref).max() or 1.0
-        np.testing.assert_allclose(seis / scale, ref / scale, atol=2e-6)
+        np.testing.assert_allclose(seis / scale, ref / scale, atol=atol)
 
     def test_run_modeling_with_x_mesh(self, mesh4):
         import parallel_finite_difference_computation_tpu as pfdc
