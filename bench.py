@@ -204,7 +204,7 @@ def bench_rtm_domain_pallas(n_x: int = 1, block_k: int = 8):
 
 
 def bench_rtm_domain_pallas_slope(n_x: int = 1, block_k: int = 8,
-                                  nts=(501, 4501)):
+                                  nts=(501, 4501), lap_impl=None):
     """Sustained per-step cost of the domain-decomposed blocked kernel vs the
     whole-shot kernel, with the fixed dispatch/tunnel cost cancelled by the
     slope between two nt values (3lay-shaped 151x151 grid, synthetic
@@ -242,7 +242,8 @@ def bench_rtm_domain_pallas_slope(n_x: int = 1, block_k: int = 8,
 
     def domain(ctx, g, wav, dobs):
         fn = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
-                                              block_k=block_k)
+                                              block_k=block_k,
+                                              lap_impl=lap_impl)
         d_ext = jax.device_put(embed_dobs(ctx, dobs[None]))
         sxs = jax.device_put(np.asarray([g.sx[0]], np.int32))
         v2s = [jax.device_put(np.stack([base * (1 + 1e-7 * i)]))
@@ -252,7 +253,7 @@ def bench_rtm_domain_pallas_slope(n_x: int = 1, block_k: int = 8,
     def wholeshot(ctx, g, wav, dobs):
         d0 = jnp.asarray(dobs)
         fn = jax.jit(lambda v, c=ctx, w=wav: rtm_snapshot_pallas(
-            c, v, w, d0, g.sx[0], g.sz, g.gz))
+            c, v, w, d0, g.sx[0], g.sz, g.gz, lap_impl=lap_impl))
         v2s = [jax.device_put(base * (1 + 1e-7 * i)) for i in range(-4, 6)]
         return fn, lambda i: (v2s[i + 4],)
 
@@ -613,6 +614,15 @@ def _main_body():
             details["rtm_3lay_domain_vs_wholeshot_step_ratio"] = us_dom / us_ws
         except Exception as e:
             details["rtm_3lay_domain_slope_error"] = str(e)[:200]
+        try:
+            # the domain tier's MXU fast path (same per-chip comparison)
+            us_dom_m, us_ws_m = bench_rtm_domain_pallas_slope(lap_impl="mxu")
+            details["rtm_3lay_domain_mxu_nx1_us_per_step_slope"] = us_dom_m
+            details["rtm_3lay_wholeshot_mxu_us_per_step_slope"] = us_ws_m
+            details["rtm_3lay_domain_mxu_vs_wholeshot_step_ratio"] = (
+                us_dom_m / us_ws_m)
+        except Exception as e:
+            details["rtm_3lay_domain_mxu_slope_error"] = str(e)[:200]
         t_headline = t_pallas
         if t_pallas > FLOOR_RTM_PALLAS_S:
             floors.append(f"rtm pallas {t_pallas:.4f}s > {FLOOR_RTM_PALLAS_S}")
