@@ -749,6 +749,22 @@ def _main_body():
             details["modeling_pluto_scale_gcell_per_s"] = gc
         except Exception as e:
             details["modeling_pluto_scale_error"] = str(e)[:200]
+        try:
+            # the beyond-VMEM streaming tier's MXU fast path (the tiled
+            # driver resolves PFDC_LAP_IMPL at trace time)
+            old_lap = os.environ.get("PFDC_LAP_IMPL")
+            os.environ["PFDC_LAP_IMPL"] = "mxu"
+            try:
+                ms, gc = bench_pluto_modeling()
+            finally:
+                if old_lap is None:
+                    os.environ.pop("PFDC_LAP_IMPL", None)
+                else:
+                    os.environ["PFDC_LAP_IMPL"] = old_lap
+            details["modeling_pluto_scale_mxu_ms_per_step"] = ms
+            details["modeling_pluto_scale_mxu_gcell_per_s"] = gc
+        except Exception as e:
+            details["modeling_pluto_scale_mxu_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:

@@ -194,6 +194,7 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
     h = order // 2
 
     def lap(s):
+        from .pallas_stencil import mm3
         nzd, wp = s.shape
         accz = None
         for k in range(h, 0, -1):
@@ -202,10 +203,6 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
         accz = accz + cz[h] * s
         sh_ = s.astype(jnp.bfloat16)
         sl_ = (s - sh_.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def mm(lhs, m):
-            return jax.lax.dot_general(lhs, m, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
 
         nb = wp // 128
         cols = []
@@ -218,7 +215,7 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
                 c0, kw, m = 128 * (b - 1), 384, sm_ref
             lh = jax.lax.slice(sh_, (0, c0), (nzd, c0 + kw))
             ll = jax.lax.slice(sl_, (0, c0), (nzd, c0 + kw))
-            yx = (mm(lh, m[0]) + mm(lh, m[1])) + mm(ll, m[0])
+            yx = mm3(lh, ll, m[:, :])
             cols.append(yx + accz[:, 128 * b:128 * (b + 1)])
         return jnp.concatenate(cols, axis=1) if nb > 1 else cols[0]
 

@@ -255,14 +255,40 @@ def band_matrices(czp, h: int, W: int):
 
 
 def split_hi_lo(s):
-    """Split a float32 matrix into stacked (2, K, N) bfloat16 (hi, lo)
-    parts with ``hi + lo`` capturing ~16 mantissa bits — the operand form
-    for the manual 3-pass (bf16_3x-equivalent) MXU matmul."""
+    """Split a float32 (K, N) matrix into an N-stacked (K, 2N) bfloat16
+    operand: columns [0, N) hold the hi part, [N, 2N) the lo part, with
+    ``hi + lo`` capturing ~16 mantissa bits — the operand form for the
+    manual 3-pass (bf16_3x-equivalent) MXU matmul (:func:`mm3`).
+
+    Stacking on the N axis (instead of a leading (2, ...) axis with two
+    separate matmuls) is load-bearing: with separate hi/lo matmuls
+    sharing the same lhs, XLA's dot merger (which runs when the kernel
+    executes in interpret mode on a TPU) re-associates
+    ``ah@Sh + ah@Sl -> ah@(Sh+Sl)`` and the bf16 matrix add rounds Sl to
+    zero — a measured 3.5e-4 error. The stacked form leaves no two dots
+    sharing an operand, so the split survives every compiler; Mosaic
+    cost is identical (one N=2N-pass matmul instead of two N-pass)."""
     import numpy as np
     import ml_dtypes
     sh = s.astype(ml_dtypes.bfloat16)
     slo = (s - sh.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return np.stack([sh, slo])
+    return np.concatenate([sh, slo], axis=1)
+
+
+def mm3(lh, ll, s):
+    """Manual 3-pass banded product: ``(ah + al) @ (Sh + Sl)`` minus the
+    ~2^-18-relative ``al@Sl`` term, with ``s`` the (K, 2N) stacked hi/lo
+    operand from :func:`split_hi_lo` and ``lh``/``ll`` the bf16 hi/lo
+    parts of the lhs. All accumulation is f32 (``preferred_element_type``
+    + an f32 add of the hi result's halves)."""
+    n = s.shape[-1] // 2
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    y2 = mm(lh, s)
+    return (y2[:, :n] + y2[:, n:]) + mm(ll, s[:, :n])
 
 
 def _lap_x_vpu(a, order, hr, tx, W, cx):
@@ -279,6 +305,46 @@ def _lap_x_vpu(a, order, hr, tx, W, cx):
         term = cx[h + k] * (xm + xp)
         accx = term if accx is None else accx + term
     return accx + cx[h] * az, az
+
+
+def _lap_z_mxu_full(az, tx, W, sf_ref, sm_ref, sl_ref):
+    """Full-width (tx, W) lane-axis taps of ``az`` via banded MXU matmuls
+    in manual 3-pass bf16 (see :func:`band_matrices`/:func:`split_hi_lo`).
+    Values within h of the W edges read clipped windows — callers mask
+    those columns (every consumer already zeroes cols outside [2h, nz))."""
+    ah = az.astype(jnp.bfloat16)
+    al = (az - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    nb = W // 128
+    cols = []
+    for b in range(nb):
+        if b == 0:
+            c0, kw, s = 0, min(256, W), sf_ref
+        elif b == nb - 1:
+            c0, kw, s = W - 256, 256, sl_ref
+        else:
+            c0, kw, s = 128 * (b - 1), 384, sm_ref
+        lh = jax.lax.slice(ah, (0, c0), (tx, c0 + kw))
+        ll = jax.lax.slice(al, (0, c0), (tx, c0 + kw))
+        cols.append(mm3(lh, ll, s[:, :]))
+    return jnp.concatenate(cols, axis=1) if nb > 1 else cols[0]
+
+
+def _lap_taps_mxu(a, order, hr, tx, W, cx, sf_ref, sm_ref, sl_ref):
+    """MXU drop-in for :func:`_lap_taps` (z lane-taps on the MXU, x
+    sublane-taps on the VPU): agrees with it on every column the padded
+    stencil / streaming kernels keep (their colmask zeroes [0, 2h) and
+    [nz, W)) to the manual-bf16_3x tolerance (~5e-6)."""
+    accx, az = _lap_x_vpu(a, order, hr, tx, W, cx)
+    return _lap_z_mxu_full(az, tx, W, sf_ref, sm_ref, sl_ref) + accx
+
+
+def stream_band_inputs(coefs_z, order: int, W: int):
+    """Stacked hi/lo bf16 band matrices for the padded-layout streaming
+    kernels (lanes = z there)."""
+    cz = [float(v) for v in coefs_z]
+    return tuple(jnp.asarray(split_hi_lo(s))
+                 for s in band_matrices(cz, order // 2, W))
 
 
 def _kernel_padded_mxu(order, hr, nx, nz, tx, n_tx, R, W, cx,
@@ -313,10 +379,6 @@ def _kernel_padded_mxu(order, hr, nx, nz, tx, n_tx, R, W, cx,
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, 128), 0)
     keep = (rows >= tx + 2 * h) & (rows < tx + h + nx - h)
 
-    def mm(lhs, s):
-        return jax.lax.dot_general(lhs, s, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
     nb = W // 128
     for b in range(nb):
         if b == 0:
@@ -327,7 +389,7 @@ def _kernel_padded_mxu(order, hr, nx, nz, tx, n_tx, R, W, cx,
             c0, kw, s = 128 * (b - 1), 384, sm_ref
         lh = jax.lax.slice(ah, (0, c0), (tx, c0 + kw))
         ll = jax.lax.slice(al, (0, c0), (tx, c0 + kw))
-        yz = (mm(lh, s[0]) + mm(lh, s[1])) + mm(ll, s[0])
+        yz = mm3(lh, ll, s[:, :])
         y = (yz + accx[:, 128 * b:128 * (b + 1)]) \
             * mask_ref[0:1, 128 * b:128 * (b + 1)]
         out_ref[:, 128 * b:128 * (b + 1)] = jnp.where(keep, y, 0.0)

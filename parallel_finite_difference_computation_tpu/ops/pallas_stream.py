@@ -34,16 +34,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_stencil import (padded_layout, to_padded, from_padded,
                              _halo_dma_start, _halo_dma_wait, _lap_taps,
+                             _lap_taps_mxu, stream_band_inputs,
                              _check_tile_rows)
 
 __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
            "padded_layout", "to_padded", "from_padded"]
 
 
-def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
-            p_hbm, pp_ref, v2_ref, m_ref, colmask_ref,
-            pn_ref, ppn_ref, scratch, sems):
+def _lap_dispatch(use_mxu, rest, order, hr, tx, W, cz, cx):
+    """Split the optional MXU band refs off ``rest`` and return
+    (lap_fn, remaining_refs)."""
+    if use_mxu:
+        sf, sm, sl = rest[:3]
+        return (lambda a: _lap_taps_mxu(a, order, hr, tx, W, cx,
+                                        sf, sm, sl)), rest[3:]
+    return (lambda a: _lap_taps(a, order, hr, tx, W, cz, cx)), rest
+
+
+def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx, use_mxu,
+            p_hbm, pp_ref, v2_ref, m_ref, colmask_ref, *rest):
     h = order // 2
+    lap_fn, (pn_ref, ppn_ref, scratch, sems) = _lap_dispatch(
+        use_mxu, rest, order, hr, tx, W, cz, cx)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -59,7 +71,7 @@ def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
     _halo_dma_wait(p_hbm, scratch, sems, cur, tx, hr)
 
     a = scratch[cur]
-    lap = _lap_taps(a, order, hr, tx, W, cz, cx)
+    lap = lap_fn(a)
     # zero lap outside the extended-grid interior [h, nxe-h) x [h, nze-h)
     # (laplacian borders are zero by construction in the reference; the
     # leapfrog still updates the full extended grid)
@@ -76,12 +88,15 @@ def _kernel(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
 
 def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
                    order: int, nxe: int, nze: int, dt2: float,
-                   tile_rows: int = 64, interpret: bool = False):
+                   tile_rows: int = 64, interpret: bool = False,
+                   lap_impl=None):
     """One fused leapfrog+taper step on the padded layout: returns
     ``(p', pp') = (p*mask, (2p - pp + v2*dt2*lap(p))*mask)``. All operands
     share the layout of :func:`padded_layout(nxe, nze, order, tile_rows)`;
     pads provably stay zero (p = pp = mask = 0 there), so the output feeds
-    the next step directly."""
+    the next step directly. ``lap_impl``: None reads ``PFDC_LAP_IMPL``;
+    ``"mxu"`` computes the z lane-taps as banded MXU matmuls (manual
+    3-pass bf16, ~5e-6 — see PALLAS_NOTES "z-taps on the MXU")."""
     h = order // 2
     hr = -(-h // 8) * 8
     _check_tile_rows(tile_rows, hr)
@@ -94,10 +109,12 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     cx = [float(v) for v in coefs_x]
     colmask = np.zeros((8, W), np.float32)
     colmask[:, 2 * h:nze] = 1.0
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W)) if use_mxu else []
 
     kern = functools.partial(_kernel, order, hr, nxe, nze, tx, n_tx, R, W,
-                             float(dt2), cz, cx)
-    from .pallas_fd import vmem_params
+                             float(dt2), cz, cx, use_mxu)
     # 2 halo slots + 3 block inputs + 2 block outputs (x2 pipelining) +
     # ~8 stack tiles; measured-style budget rounds into the granted range
     cp = vmem_params(((2 + 8) * (tx + 2 * hr) * W + 10 * tx * W) * 4)
@@ -107,7 +124,8 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
         grid=(n_tx,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   block(), block(), block(),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
         out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tx, W), lambda i: (i, 0),
@@ -120,7 +138,7 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
         ],
         compiler_params=cp,
         interpret=interpret,
-    )(p_pad, pp_pad, v2_pad, mask_pad, jnp.asarray(colmask))
+    )(p_pad, pp_pad, v2_pad, mask_pad, jnp.asarray(colmask), *extra)
 
 
 # ---------------------------------------------------------------------------
@@ -128,12 +146,13 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
 # ---------------------------------------------------------------------------
 
 def _kernel_update(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
-                   p_hbm, pp_ref, v2_ref, colmask_ref,
-                   ppn_ref, scratch, sems):
+                   use_mxu, p_hbm, pp_ref, v2_ref, colmask_ref, *rest):
     """Update-only: out = 2p - pp + v2*dt2*lap(p). The untapered source
     reconstruction of fd_back (fd-code.cu:317-318); p passes through the
     carry unchanged so it is not re-emitted."""
     h = order // 2
+    lap_fn, (ppn_ref, scratch, sems) = _lap_dispatch(
+        use_mxu, rest, order, hr, tx, W, cz, cx)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -149,7 +168,7 @@ def _kernel_update(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
     _halo_dma_wait(p_hbm, scratch, sems, cur, tx, hr)
 
     a = scratch[cur]
-    lap = _lap_taps(a, order, hr, tx, W, cz, cx)
+    lap = lap_fn(a)
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, lap.shape, 0)
     keep = (rows >= tx + 2 * h) & (rows < tx + h + nxe - h)
     lap = jnp.where(keep, lap * colmask_ref[0:1, :], 0.0)
@@ -163,18 +182,24 @@ def _kernel_update(order, hr, nxe, nze, tx, n_tx, R, W, dt2, cz, cx,
 
 
 def _kernel_gpu(order, hr, nxe, nze, nxb, nzb, nx, tx, n_tx, R, W, dt2,
-                with_img, cz, cx, *refs):
+                with_img, cz, cx, use_mxu, *refs):
     """Taper-first flavor: t = y*mask (both halo-streamed), out_p = t,
     out_pp = 2t - x*mask + v2*dt2*lap(t) [+ sism column]; optionally
     out_im = im + imsrc * out_pp on the un-extended interior (K6)."""
     if with_img:
         (y_hbm, m_hbm, x_ref, v2_ref, sism_ref, im_ref, imsrc_ref,
-         masks_ref, pn_ref, ppn_ref, imn_ref,
-         scr_y, scr_m, sem_y, sem_m) = refs
+         masks_ref) = refs[:8]
+        rest = refs[8:]
     else:
-        (y_hbm, m_hbm, x_ref, v2_ref, masks_ref,
-         pn_ref, ppn_ref, scr_y, scr_m, sem_y, sem_m) = refs
-        sism_ref = im_ref = imsrc_ref = imn_ref = None
+        y_hbm, m_hbm, x_ref, v2_ref, masks_ref = refs[:5]
+        rest = refs[5:]
+        sism_ref = im_ref = imsrc_ref = None
+    lap_fn, rest = _lap_dispatch(use_mxu, rest, order, hr, tx, W, cz, cx)
+    if with_img:
+        pn_ref, ppn_ref, imn_ref, scr_y, scr_m, sem_y, sem_m = rest
+    else:
+        pn_ref, ppn_ref, scr_y, scr_m, sem_y, sem_m = rest
+        imn_ref = None
     h = order // 2
     i = pl.program_id(0)
 
@@ -194,7 +219,7 @@ def _kernel_gpu(order, hr, nxe, nze, nxb, nzb, nx, tx, n_tx, R, W, dt2,
     _halo_dma_wait(m_hbm, scr_m, sem_m, cur, tx, hr)
 
     t = scr_y[cur] * scr_m[cur]            # tapered field, halo frame
-    lap = _lap_taps(t, order, hr, tx, W, cz, cx)
+    lap = lap_fn(t)
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, lap.shape, 0)
     keep = (rows >= tx + 2 * h) & (rows < tx + h + nxe - h)
     lap = jnp.where(keep, lap * masks_ref[0:1, :], 0.0)
@@ -235,7 +260,7 @@ def _packed_masks(order, nxe, nze, nzb, nz, gz, W):
 
 def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
                      nxe: int, nze: int, dt2: float, tile_rows: int = 64,
-                     interpret: bool = False):
+                     interpret: bool = False, lap_impl=None):
     """Untapered leapfrog update on the padded layout: returns
     ``2p - pp + v2*dt2*lap(p)`` (the fd_back source-reconstruction step)."""
     h = order // 2
@@ -249,9 +274,11 @@ def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
     cx = [float(v) for v in coefs_x]
     colmask = np.zeros((8, W), np.float32)
     colmask[:, 2 * h:nze] = 1.0
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W)) if use_mxu else []
     kern = functools.partial(_kernel_update, order, hr, nxe, nze, tx, n_tx,
-                             R, W, float(dt2), cz, cx)
-    from .pallas_fd import vmem_params
+                             R, W, float(dt2), cz, cx, use_mxu)
     cp = vmem_params(((2 + 8) * (tx + 2 * hr) * W + 8 * tx * W) * 4)
     block = lambda: pl.BlockSpec((tx, W), lambda i: (i, 0))
     return pl.pallas_call(
@@ -259,7 +286,8 @@ def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
         grid=(n_tx,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   block(), block(),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
         out_specs=pl.BlockSpec((tx, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, W), jnp.float32),
@@ -267,7 +295,7 @@ def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=cp,
         interpret=interpret,
-    )(p_pad, pp_pad, v2_pad, jnp.asarray(colmask))
+    )(p_pad, pp_pad, v2_pad, jnp.asarray(colmask), *extra)
 
 
 def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
@@ -275,7 +303,7 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
                        nxb: int = 0, nzb: int = 0, nx: int = 0, nz: int = 0,
                        gz: int = 0, sism_col=None, imloc_pad=None,
                        imsrc_pad=None, tile_rows: int = 64,
-                       interpret: bool = False):
+                       interpret: bool = False, lap_impl=None):
     """Taper-first fused step (GPU-suite flavor, fd-code.cu:259-267 /
     :325-329): ``t = y*mask``; returns ``(t, 2t - x*mask + v2*dt2*lap(t))``.
     With ``sism_col`` (an (R, 128) block whose lane 0 carries the
@@ -293,10 +321,12 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     cx = [float(v) for v in coefs_x]
     with_img = imloc_pad is not None
     masks = _packed_masks(order, nxe, nze, nzb, nz if nz else nze, gz, W)
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W)) if use_mxu else []
     kern = functools.partial(_kernel_gpu, order, hr, nxe, nze, nxb, nzb,
                              nx if nx else nxe, tx, n_tx, R, W, float(dt2),
-                             with_img, cz, cx)
-    from .pallas_fd import vmem_params
+                             with_img, cz, cx, use_mxu)
     cp = vmem_params(((4 + 10) * (tx + 2 * hr) * W + 12 * tx * W) * 4)
     block = lambda: pl.BlockSpec((tx, W), lambda i: (i, 0))
     scratch = [pltpu.VMEM((2, tx + 2 * hr, W), jnp.float32),
@@ -312,7 +342,8 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
                       block(), block(),
                       pl.BlockSpec((tx, 128), lambda i: (i, 0)),
                       block(), block(),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+                      pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
             out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)] * 3,
             out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 3,
@@ -320,18 +351,19 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
             compiler_params=cp,
             interpret=interpret,
         )(y_pad, mask_pad, x_pad, v2_pad, sism_col, imloc_pad, imsrc_pad,
-          jnp.asarray(masks))
+          jnp.asarray(masks), *extra)
     return pl.pallas_call(
         kern,
         grid=(n_tx,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
                   block(), block(),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
         out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 2,
         scratch_shapes=scratch,
         compiler_params=cp,
         interpret=interpret,
-    )(y_pad, mask_pad, x_pad, v2_pad, jnp.asarray(masks))
+    )(y_pad, mask_pad, x_pad, v2_pad, jnp.asarray(masks), *extra)

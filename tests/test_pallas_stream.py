@@ -52,6 +52,78 @@ def test_single_step_matches_lax_update():
     assert np.abs(leak).max() == 0.0
 
 
+def test_single_step_mxu_matches_exact():
+    """lap_impl='mxu' on the streaming fused step (z lane-taps as banded
+    MXU matmuls): matches the exact kernel to the manual-bf16_3x
+    tolerance and keeps the pads exactly zero."""
+    ctx = _ctx(nz=260)  # W = 384: exercises a middle band block
+    rng = np.random.default_rng(4)
+    shape = (ctx.nxe, ctx.nze)
+    p = rng.standard_normal(shape).astype(np.float32)
+    pp = rng.standard_normal(shape).astype(np.float32)
+    v2 = np.full(shape, 4e6, np.float32)
+    mask = np.asarray(ctx.mask_all)
+    tr = 16
+    args = (ctx.coefs_x, ctx.coefs_z, ctx.order, ctx.nxe, ctx.nze, ctx.dt2)
+    pads = [to_padded(jnp.asarray(a), ctx.order, tr)
+            for a in (p, pp, v2, mask)]
+    pn0, ppn0 = fd_step_padded(*pads, *args, tile_rows=tr, interpret=True)
+    pn1, ppn1 = fd_step_padded(*pads, *args, tile_rows=tr, interpret=True,
+                               lap_impl="mxu")
+    ppn0, ppn1 = np.asarray(ppn0), np.asarray(ppn1)
+    tol = 2e-5 * max(1.0, np.abs(ppn0).max())
+    np.testing.assert_allclose(ppn1, ppn0, atol=tol, rtol=0)
+    np.testing.assert_array_equal(np.asarray(pn1), np.asarray(pn0))
+    R, W, r0, c0 = padded_layout(ctx.nxe, ctx.nze, ctx.order, tr)
+    leak = ppn1.copy()
+    leak[r0:r0 + ctx.nxe, c0:c0 + ctx.nze] = 0
+    assert np.abs(leak).max() == 0.0
+
+
+def test_gpu_step_mxu_matches_exact():
+    """lap_impl='mxu' on the taper-first GPU-flavor streaming step, with
+    the K5/K6 fused image path."""
+    from parallel_finite_difference_computation_tpu.ops.pallas_stream import (
+        fd_step_gpu_padded, fd_update_padded)
+    ctx = _ctx()
+    rng = np.random.default_rng(5)
+    shape = (ctx.nxe, ctx.nze)
+    tr = 16
+    pads = {k: to_padded(jnp.asarray(v), ctx.order, tr) for k, v in {
+        "y": rng.standard_normal(shape).astype(np.float32),
+        "x": rng.standard_normal(shape).astype(np.float32),
+        "v2": np.full(shape, 4e6, np.float32),
+        "mask": np.asarray(ctx.mask_top),
+        "im": np.zeros(shape, np.float32),
+        "imsrc": rng.standard_normal(shape).astype(np.float32)}.items()}
+    R, W, _, _ = padded_layout(ctx.nxe, ctx.nze, ctx.order, tr)
+    sism = jnp.asarray(rng.standard_normal((R, 128)).astype(np.float32))
+    args = dict(order=ctx.order, nxe=ctx.nxe, nze=ctx.nze, dt2=ctx.dt2,
+                nxb=ctx.nxb, nzb=ctx.nzb, nx=ctx.nx, nz=ctx.nz, gz=7,
+                sism_col=sism, imloc_pad=pads["im"],
+                imsrc_pad=pads["imsrc"], tile_rows=tr, interpret=True)
+    outs0 = fd_step_gpu_padded(pads["y"], pads["x"], pads["v2"],
+                               pads["mask"], ctx.coefs_x, ctx.coefs_z,
+                               **args)
+    outs1 = fd_step_gpu_padded(pads["y"], pads["x"], pads["v2"],
+                               pads["mask"], ctx.coefs_x, ctx.coefs_z,
+                               lap_impl="mxu", **args)
+    for a, b in zip(outs0, outs1):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 2e-5 * max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, atol=tol, rtol=0)
+    u0 = fd_update_padded(pads["y"], pads["x"], pads["v2"], ctx.coefs_x,
+                          ctx.coefs_z, ctx.order, ctx.nxe, ctx.nze,
+                          ctx.dt2, tile_rows=tr, interpret=True)
+    u1 = fd_update_padded(pads["y"], pads["x"], pads["v2"], ctx.coefs_x,
+                          ctx.coefs_z, ctx.order, ctx.nxe, ctx.nze,
+                          ctx.dt2, tile_rows=tr, interpret=True,
+                          lap_impl="mxu")
+    u0, u1 = np.asarray(u0), np.asarray(u1)
+    tol = 2e-5 * max(1.0, np.abs(u0).max())
+    np.testing.assert_allclose(u1, u0, atol=tol, rtol=0)
+
+
 @pytest.mark.parametrize("source", ["gaussian", "point"])
 def test_modeling_matches_lax_path(source):
     ctx = _ctx()
