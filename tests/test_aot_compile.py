@@ -263,3 +263,18 @@ class TestStreamingKernels:
         _aot(tpu_sharding,
              lambda p, pp, v2, m: fd_step_padded(
                  p, pp, v2, m, cx, cz, 8, nxe, nze, 1e-6), p, p, p, mask)
+
+    def test_fd_step_padded_mxu(self, tpu_sharding, rng_mod):
+        from parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            import fd_step_padded
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nxe, nze = 231, 260   # W = 384: middle band block present
+        R, W, _, _ = padded_layout(nxe, nze, 8)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        mask = jnp.ones((R, W), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p, pp, v2, m: fd_step_padded(
+                 p, pp, v2, m, cx, cz, 8, nxe, nze, 1e-6,
+                 lap_impl="mxu"), p, p, p, mask)
