@@ -260,11 +260,13 @@ def bench_rtm_domain_pallas_slope(n_x: int = 1, block_k: int = 8,
     return measure(domain), measure(wholeshot)
 
 
-def bench_marmousi_pallas():
+def bench_marmousi_pallas(lap_impl=None):
     """Flagship-scale whole-shot Pallas RTM (marmousi GPU-suite config,
     409x455 extended, nt=3004). Compile takes many minutes through the
     remote Mosaic helper, so this runs only with PFDC_BENCH_FULL=1; the
-    recorded number lives in BENCH_DETAILS.json/docs."""
+    recorded number lives in BENCH_DETAILS.json/docs. ``lap_impl="mxu6"``
+    measures the 6-pass MXU accuracy tier (the fast path that clears
+    1e-4 at this nt — validate 6d)."""
     from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
         rtm_snapshot_pallas)
     from parallel_finite_difference_computation_tpu.solver import (
@@ -283,7 +285,8 @@ def bench_marmousi_pallas():
     dobs = jnp.asarray(np.random.default_rng(0).standard_normal(
         (p.nx, p.nt)).astype(np.float32))
     fn = jax.jit(lambda v2: rtm_snapshot_pallas(ctx, v2, wav, dobs,
-                                                g.sx[0], g.sz, g.gz))
+                                                g.sx[0], g.sz, g.gz,
+                                                lap_impl=lap_impl))
     make = lambda i: (jnp.asarray(base * (1 + 1e-7 * i)),)
     t = _prof_timeit(make, fn, warmup=2, iters=3)
     ref = np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(base), wav, dobs,
@@ -649,6 +652,18 @@ def _main_body():
                 details["rtm_headline_impl"] = "mxu"
         except Exception as e:
             details["rtm_3lay_mxu_error"] = str(e)[:200]
+        try:
+            # 6-pass triple-split accuracy tier (lap_impl="mxu6"):
+            # ~f32-level per apply — the fast path for long-nt configs
+            # (clears 1e-4 on marmousi where 3-pass doesn't; validate 6d)
+            t_m68 = bench_rtm_pallas_batched(lap_impl="mxu6")
+            details["rtm_3lay_mxu6_s_per_shot_batched8"] = t_m68
+            t_m632 = bench_rtm_pallas_batched(n_shots=32, lap_impl="mxu6")
+            slope_m6 = (t_m632 * 32 - t_m68 * 8) / 24
+            if slope_m6 > 0:
+                details["rtm_3lay_mxu6_s_per_shot_slope"] = slope_m6
+        except Exception as e:
+            details["rtm_3lay_mxu6_error"] = str(e)[:200]
     else:
         t_headline = t_rtm
 
@@ -779,6 +794,16 @@ def _main_body():
             details["rtm_marmousi_pallas_max_rel_vs_lax"] = mp[1]
             details["rtm_marmousi_pallas_speedup_vs_cpu_reference"] = (
                 153.6 / mp[0])
+        try:
+            mp6 = bench_marmousi_pallas(lap_impl="mxu6")
+        except Exception as e:
+            details["rtm_marmousi_mxu6_error"] = str(e)[:200]
+            mp6 = None
+        if mp6:
+            details["rtm_marmousi_mxu6_s_per_shot"] = mp6[0]
+            details["rtm_marmousi_mxu6_max_rel_vs_lax"] = mp6[1]
+            details["rtm_marmousi_mxu6_speedup_vs_cpu_reference"] = (
+                153.6 / mp6[0])
     else:
         # preserve the full-bench-only entries from the previous record
         # (the marmousi whole-shot kernel compile takes many minutes and

@@ -147,16 +147,18 @@ def _v2_operand(ctx: FDContext, v2):
     return jnp.transpose(v2) * jnp.asarray(m * np.float32(ctx.dt2))
 
 
-def _use_mxu_lap(lap_impl) -> bool:
+def _use_mxu_lap(lap_impl) -> int:
     """Resolve the whole-shot kernels' Laplacian lowering: ``lap_impl`` is
-    an explicit ``"mxu"``/``"vpu"`` override, or None to read
-    ``PFDC_LAP_IMPL`` (value ``mxu`` selects the MXU path; ``padded``/
-    ``roll`` keep the exact VPU taps and choose their lowering inside
-    :func:`..stencil.lap_in_kernel`)."""
+    an explicit ``"mxu"``/``"mxu6"``/``"vpu"`` override, or None to read
+    ``PFDC_LAP_IMPL`` (``mxu`` selects the 3-pass MXU path, ``mxu6`` the
+    6-pass triple-split one; ``padded``/``roll`` keep the exact VPU taps
+    and choose their lowering inside :func:`..stencil.lap_in_kernel`).
+    Returns the number of bf16 residual splits (0 = VPU, 2 = 3-pass,
+    3 = 6-pass) — truthy exactly when the MXU path is selected."""
     import os
     if lap_impl is None:
         lap_impl = os.environ.get("PFDC_LAP_IMPL", "padded")
-    return lap_impl == "mxu"
+    return {"mxu": 2, "mxu6": 3}.get(lap_impl, 0)
 
 
 def _pad_lanes(a, wp: int):
@@ -164,13 +166,14 @@ def _pad_lanes(a, wp: int):
     return jnp.pad(a, ((0, 0), (0, wp - a.shape[1])))
 
 
-def _mxu_band_inputs(ctx: FDContext, wp: int):
-    """Stacked hi/lo bf16 band matrices for the x (lane) taps of the
-    z-major whole-shot kernels (see :func:`..pallas_stencil.band_matrices`;
-    here the lane axis is x, so the band holds ``coefs_x``)."""
-    from .pallas_stencil import band_matrices, split_hi_lo
+def _mxu_band_inputs(ctx: FDContext, wp: int, parts: int = 2):
+    """Stacked bf16 band matrices (``parts`` residual splits) for the x
+    (lane) taps of the z-major whole-shot kernels (see
+    :func:`..pallas_stencil.band_matrices`; here the lane axis is x, so
+    the band holds ``coefs_x``)."""
+    from .pallas_stencil import band_matrices, split_stack
     cx = [float(v) for v in ctx.coefs_x]
-    return tuple(jnp.asarray(split_hi_lo(s))
+    return tuple(jnp.asarray(split_stack(s, parts))
                  for s in band_matrices(cx, ctx.order // 2, wp))
 
 
@@ -194,15 +197,15 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
     h = order // 2
 
     def lap(s):
-        from .pallas_stencil import mm3
+        from .pallas_stencil import mm_banded, split_lhs
         nzd, wp = s.shape
         accz = None
         for k in range(h, 0, -1):
             term = cz[h + k] * (jnp.roll(s, k, 0) + jnp.roll(s, -k, 0))
             accz = term if accz is None else accz + term
         accz = accz + cz[h] * s
-        sh_ = s.astype(jnp.bfloat16)
-        sl_ = (s - sh_.astype(jnp.float32)).astype(jnp.bfloat16)
+        p = sf_ref.shape[-1] // 128
+        splits = split_lhs(s, p)
 
         nb = wp // 128
         cols = []
@@ -213,9 +216,9 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
                 c0, kw, m = wp - 256, 256, sl_ref
             else:
                 c0, kw, m = 128 * (b - 1), 384, sm_ref
-            lh = jax.lax.slice(sh_, (0, c0), (nzd, c0 + kw))
-            ll = jax.lax.slice(sl_, (0, c0), (nzd, c0 + kw))
-            yx = mm3(lh, ll, m[:, :])
+            parts = tuple(jax.lax.slice(x, (0, c0), (nzd, c0 + kw))
+                          for x in splits)
+            yx = mm_banded(parts, m[:, :])
             cols.append(yx + accz[:, 128 * b:128 * (b + 1)])
         return jnp.concatenate(cols, axis=1) if nb > 1 else cols[0]
 
@@ -376,7 +379,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
         mask = _pad_lanes(mask, wp)
         src_rows = _pad_lanes(src_rows, wp)
         v2m = _pad_lanes(v2m, wp)
-        extra = list(_mxu_band_inputs(ctx, wp))
+        extra = list(_mxu_band_inputs(ctx, wp, use_mxu))
 
     kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r, use_mxu)
     out_shape = (
@@ -517,7 +520,10 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
     ``lap_impl``: None reads ``PFDC_LAP_IMPL``; ``"mxu"`` pads the lane
     (x) axis to a 128 multiple and computes the x taps as banded MXU
     matmuls (manual 3-pass bf16 — see :func:`_make_lap`); the pad lanes
-    carry zero mask/v2 so the fields stay exactly zero there.
+    carry zero mask/v2 so the fields stay exactly zero there. ``"mxu6"``
+    is the 6-pass triple-split variant: ~f32-level per-apply accuracy at
+    twice the matmul passes (the accuracy tier for long-nt configs like
+    marmousi where 3-pass rounding amplifies past 1e-4).
     """
     mask_np = np.transpose(np.asarray(ctx.mask_top))
     use_mxu = _use_mxu_lap(lap_impl)
@@ -534,7 +540,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
         mask = _pad_lanes(mask, wp)
         src_rows = _pad_lanes(src_rows, wp)
         v2m = _pad_lanes(v2m, wp)
-        extra = list(_mxu_band_inputs(ctx, wp))
+        extra = list(_mxu_band_inputs(ctx, wp, use_mxu))
 
     kern = functools.partial(_rtm_kernel, ctx, gz, sz,
                              _taper_rows(ctx, mask_np), use_mxu)

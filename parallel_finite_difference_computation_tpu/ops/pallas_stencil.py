@@ -254,25 +254,52 @@ def band_matrices(czp, h: int, W: int):
     return banded(256, 0), banded(384, 128), banded(256, 128)
 
 
-def split_hi_lo(s):
-    """Split a float32 (K, N) matrix into an N-stacked (K, 2N) bfloat16
-    operand: columns [0, N) hold the hi part, [N, 2N) the lo part, with
-    ``hi + lo`` capturing ~16 mantissa bits — the operand form for the
-    manual 3-pass (bf16_3x-equivalent) MXU matmul (:func:`mm3`).
+def split_stack(s, parts: int = 2):
+    """Split a float32 (K, N) matrix into an N-stacked (K, parts*N)
+    bfloat16 operand: column block ``i`` holds the i-th residual split
+    (hi first), with the sum of the splits capturing ~8*parts mantissa
+    bits — the operand form for the manual multi-pass MXU matmuls
+    (:func:`mm3` for parts=2, :func:`mm_banded` generally).
 
-    Stacking on the N axis (instead of a leading (2, ...) axis with two
+    Stacking on the N axis (instead of a leading (parts, ...) axis with
     separate matmuls) is load-bearing: with separate hi/lo matmuls
     sharing the same lhs, XLA's dot merger (which runs when the kernel
     executes in interpret mode on a TPU) re-associates
     ``ah@Sh + ah@Sl -> ah@(Sh+Sl)`` and the bf16 matrix add rounds Sl to
     zero — a measured 3.5e-4 error. The stacked form leaves no two dots
     sharing an operand, so the split survives every compiler; Mosaic
-    cost is identical (one N=2N-pass matmul instead of two N-pass)."""
+    cost is identical (one wide-N pass instead of several N-passes)."""
     import numpy as np
     import ml_dtypes
-    sh = s.astype(ml_dtypes.bfloat16)
-    slo = (s - sh.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return np.concatenate([sh, slo], axis=1)
+    cols, r = [], s.astype(np.float32)
+    for _ in range(parts):
+        hi = r.astype(ml_dtypes.bfloat16)
+        cols.append(hi)
+        r = r - hi.astype(np.float32)
+    return np.concatenate(cols, axis=1)
+
+
+def split_hi_lo(s):
+    """2-part :func:`split_stack` — the (K, 2N) hi/lo operand for
+    :func:`mm3` (~16 mantissa bits captured)."""
+    return split_stack(s, 2)
+
+
+def split_lhs(a, parts: int = 2):
+    """In-kernel residual split of a float32 operand into ``parts``
+    bfloat16 arrays (hi first), the lhs counterpart of
+    :func:`split_stack`."""
+    out, r = [], a
+    for _ in range(parts):
+        hi = r.astype(jnp.bfloat16)
+        out.append(hi)
+        r = r - hi.astype(jnp.float32)
+    return tuple(out)
+
+
+def _mmf32(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def mm3(lh, ll, s):
@@ -282,13 +309,34 @@ def mm3(lh, ll, s):
     parts of the lhs. All accumulation is f32 (``preferred_element_type``
     + an f32 add of the hi result's halves)."""
     n = s.shape[-1] // 2
+    y2 = _mmf32(lh, s)
+    return (y2[:, :n] + y2[:, n:]) + _mmf32(ll, s[:, :n])
 
-    def mm(a, b):
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
 
-    y2 = mm(lh, s)
-    return (y2[:, :n] + y2[:, n:]) + mm(ll, s[:, :n])
+def mm_banded(parts, s):
+    """Manual multi-pass banded product for ``p = len(parts)`` residual
+    bf16 splits of the lhs against the (K, pN) stacked operand ``s`` from
+    :func:`split_stack`: computes every cross product ``parts[i] @ S_j``
+    with ``i + j < p`` (the dropped terms are ~2^-(8(p+1)) relative), so
+    p=2 is the 3-pass bf16_3x-equivalent and p=3 a 6-pass with ~f32-level
+    per-apply accuracy (~2^-24 split residual). p=2 delegates to
+    :func:`mm3` so existing gated results stay bit-identical; p>=3 sums
+    cross terms in ascending magnitude (deepest split level first) for
+    the tightest f32 accumulation. No two dots share an operand —
+    dot-merger-proof (see :func:`split_stack`)."""
+    p = len(parts)
+    if p == 2:
+        return mm3(parts[0], parts[1], s)
+    n = s.shape[-1] // p
+    ys = [_mmf32(parts[i], s[:, :n * (p - i)]) for i in range(p)]
+    acc = None
+    for lvl in range(p - 1, -1, -1):
+        for i in range(min(lvl, p - 1), -1, -1):
+            j = lvl - i
+            if j < p - i:
+                blk = ys[i][:, j * n:(j + 1) * n]
+                acc = blk if acc is None else acc + blk
+    return acc
 
 
 def _lap_x_vpu(a, order, hr, tx, W, cx):
@@ -312,8 +360,8 @@ def _lap_z_mxu_full(az, tx, W, sf_ref, sm_ref, sl_ref):
     in manual 3-pass bf16 (see :func:`band_matrices`/:func:`split_hi_lo`).
     Values within h of the W edges read clipped windows — callers mask
     those columns (every consumer already zeroes cols outside [2h, nz))."""
-    ah = az.astype(jnp.bfloat16)
-    al = (az - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    p = sf_ref.shape[-1] // 128
+    splits = split_lhs(az, p)
 
     nb = W // 128
     cols = []
@@ -324,9 +372,9 @@ def _lap_z_mxu_full(az, tx, W, sf_ref, sm_ref, sl_ref):
             c0, kw, s = W - 256, 256, sl_ref
         else:
             c0, kw, s = 128 * (b - 1), 384, sm_ref
-        lh = jax.lax.slice(ah, (0, c0), (tx, c0 + kw))
-        ll = jax.lax.slice(al, (0, c0), (tx, c0 + kw))
-        cols.append(mm3(lh, ll, s[:, :]))
+        parts = tuple(jax.lax.slice(a, (0, c0), (tx, c0 + kw))
+                      for a in splits)
+        cols.append(mm_banded(parts, s[:, :]))
     return jnp.concatenate(cols, axis=1) if nb > 1 else cols[0]
 
 
@@ -339,11 +387,12 @@ def _lap_taps_mxu(a, order, hr, tx, W, cx, sf_ref, sm_ref, sl_ref):
     return _lap_z_mxu_full(az, tx, W, sf_ref, sm_ref, sl_ref) + accx
 
 
-def stream_band_inputs(coefs_z, order: int, W: int):
-    """Stacked hi/lo bf16 band matrices for the padded-layout streaming
-    kernels (lanes = z there)."""
+def stream_band_inputs(coefs_z, order: int, W: int, parts: int = 2):
+    """Stacked bf16 band matrices (``parts`` residual splits; see
+    :func:`split_stack`) for the padded-layout streaming kernels (lanes =
+    z there)."""
     cz = [float(v) for v in coefs_z]
-    return tuple(jnp.asarray(split_hi_lo(s))
+    return tuple(jnp.asarray(split_stack(s, parts))
                  for s in band_matrices(cz, order // 2, W))
 
 
@@ -373,8 +422,8 @@ def _kernel_padded_mxu(order, hr, nx, nz, tx, n_tx, R, W, cx,
     a = scratch[cur]
     accx, az = _lap_x_vpu(a, order, hr, tx, W, cx)
 
-    ah = az.astype(jnp.bfloat16)
-    al = (az - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    p = sf_ref.shape[-1] // 128
+    splits = split_lhs(az, p)
 
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, 128), 0)
     keep = (rows >= tx + 2 * h) & (rows < tx + h + nx - h)
@@ -387,9 +436,9 @@ def _kernel_padded_mxu(order, hr, nx, nz, tx, n_tx, R, W, cx,
             c0, kw, s = W - 256, 256, sl_ref
         else:
             c0, kw, s = 128 * (b - 1), 384, sm_ref
-        lh = jax.lax.slice(ah, (0, c0), (tx, c0 + kw))
-        ll = jax.lax.slice(al, (0, c0), (tx, c0 + kw))
-        yz = mm3(lh, ll, s[:, :])
+        parts = tuple(jax.lax.slice(x, (0, c0), (tx, c0 + kw))
+                      for x in splits)
+        yz = mm_banded(parts, s[:, :])
         y = (yz + accx[:, 128 * b:128 * (b + 1)]) \
             * mask_ref[0:1, 128 * b:128 * (b + 1)]
         out_ref[:, 128 * b:128 * (b + 1)] = jnp.where(keep, y, 0.0)
@@ -469,9 +518,13 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
     ``impl="mxu"`` computes the z (lane) taps as banded block matmuls on
     the otherwise-idle MXU in manual 3-pass bf16 precision (max rel err
     ~5e-6 vs the exact path) — measured 1.76x at 8192^2, DMA-bound at
-    ~98% of the kernel's copy floor (docs/PALLAS_NOTES.md)."""
-    if impl not in ("vpu", "mxu"):
-        raise ValueError(f"impl must be 'vpu' or 'mxu', got {impl!r}")
+    ~98% of the kernel's copy floor (docs/PALLAS_NOTES.md).
+    ``impl="mxu6"`` is the 6-pass triple-split variant (~f32-level
+    per-apply accuracy, ~2^-24 split residual) at twice the matmul
+    passes — still DMA-bound at large sizes."""
+    if impl not in ("vpu", "mxu", "mxu6"):
+        raise ValueError(f"impl must be 'vpu', 'mxu' or 'mxu6', "
+                         f"got {impl!r}")
     h = order // 2
     hr = -(-h // 8) * 8
     _check_tile_rows(tile_rows, hr)
@@ -493,8 +546,10 @@ def laplacian_pallas_padded(p_pad, coefs_x, coefs_z, order: int,
     # the compile; budget 2 scratch slots + out pipeline + 24 stack tiles
     # (the wide-grid anchor from docs/PALLAS_NOTES.md "Round 3")
     cp = vmem_params(((2 + 24) * (tx + 2 * hr) * W + 2 * tx * W) * 4)
-    if impl == "mxu":
-        sf, sm, sl = (split_hi_lo(s) for s in band_matrices(cz, h, W))
+    if impl in ("mxu", "mxu6"):
+        parts = 3 if impl == "mxu6" else 2
+        sf, sm, sl = (split_stack(s, parts)
+                      for s in band_matrices(cz, h, W))
         kern = functools.partial(_kernel_padded_mxu, order, hr, nx, nz,
                                  tx, n_tx, R, W, cx)
         extra_in = [jnp.asarray(sf), jnp.asarray(sm), jnp.asarray(sl)]

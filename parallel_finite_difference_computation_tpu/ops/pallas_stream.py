@@ -96,7 +96,8 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     pads provably stay zero (p = pp = mask = 0 there), so the output feeds
     the next step directly. ``lap_impl``: None reads ``PFDC_LAP_IMPL``;
     ``"mxu"`` computes the z lane-taps as banded MXU matmuls (manual
-    3-pass bf16, ~5e-6 — see PALLAS_NOTES "z-taps on the MXU")."""
+    3-pass bf16, ~5e-6 — see PALLAS_NOTES "z-taps on the MXU");
+    ``"mxu6"`` the 6-pass triple-split variant (~f32-level)."""
     h = order // 2
     hr = -(-h // 8) * 8
     _check_tile_rows(tile_rows, hr)
@@ -111,7 +112,7 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     colmask[:, 2 * h:nze] = 1.0
     from .pallas_fd import vmem_params, _use_mxu_lap
     use_mxu = _use_mxu_lap(lap_impl)
-    extra = list(stream_band_inputs(cz, order, W)) if use_mxu else []
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
 
     kern = functools.partial(_kernel, order, hr, nxe, nze, tx, n_tx, R, W,
                              float(dt2), cz, cx, use_mxu)
@@ -276,7 +277,7 @@ def fd_update_padded(p_pad, pp_pad, v2_pad, coefs_x, coefs_z, order: int,
     colmask[:, 2 * h:nze] = 1.0
     from .pallas_fd import vmem_params, _use_mxu_lap
     use_mxu = _use_mxu_lap(lap_impl)
-    extra = list(stream_band_inputs(cz, order, W)) if use_mxu else []
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
     kern = functools.partial(_kernel_update, order, hr, nxe, nze, tx, n_tx,
                              R, W, float(dt2), cz, cx, use_mxu)
     cp = vmem_params(((2 + 8) * (tx + 2 * hr) * W + 8 * tx * W) * 4)
@@ -323,7 +324,7 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     masks = _packed_masks(order, nxe, nze, nzb, nz if nz else nze, gz, W)
     from .pallas_fd import vmem_params, _use_mxu_lap
     use_mxu = _use_mxu_lap(lap_impl)
-    extra = list(stream_band_inputs(cz, order, W)) if use_mxu else []
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
     kern = functools.partial(_kernel_gpu, order, hr, nxe, nze, nxb, nzb,
                              nx if nx else nxe, tx, n_tx, R, W, float(dt2),
                              with_img, cz, cx, use_mxu)

@@ -250,7 +250,7 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
     nxw = nxl + 2 * H
     use_mxu = _use_mxu_lap(lap_impl)
     nxww = -(-nxw // 128) * 128 if use_mxu else nxw
-    mxu_in = list(_mxu_band_inputs(ctx, nxww)) if use_mxu else []
+    mxu_in = list(_mxu_band_inputs(ctx, nxww, use_mxu)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)
     gaussian = source == "gaussian"
     r = ctx.source_patch.shape[0] // 2 if gaussian else 0
@@ -382,7 +382,7 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     nxw = nxl + 2 * H
     use_mxu = _use_mxu_lap(lap_impl)
     nxww = -(-nxw // 128) * 128 if use_mxu else nxw
-    mxu_in = list(_mxu_band_inputs(ctx, nxww)) if use_mxu else []
+    mxu_in = list(_mxu_band_inputs(ctx, nxww, use_mxu)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)
     mask_glob = jnp.asarray(np.pad(np.asarray(ctx.mask_top),
                                    ((0, nxe_pad - ctx.nxe), (0, 0))))

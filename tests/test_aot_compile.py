@@ -101,18 +101,19 @@ class TestWholeShotKernels:
                  ctx, v2, wav, dobs, sx, 5, 5),
              v2, wav, dobs, jnp.int32(40))
 
-    def test_rtm_snapshot_mxu(self, tpu_sharding, small):
+    @pytest.mark.parametrize("lap_impl", ["mxu", "mxu6"])
+    def test_rtm_snapshot_mxu(self, tpu_sharding, small, lap_impl):
         """The MXU lane-tap fast path (banded block matmuls, manual 3-pass
-        bf16) compiles: exercises the bf16 hi/lo splits, the in-kernel
-        dot_generals, and the 128-aligned lane concat of the block
-        results."""
+        bf16 — 6-pass triple-split for "mxu6") compiles: exercises the
+        bf16 residual splits, the in-kernel dot_generals, and the
+        128-aligned lane concat of the block results."""
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             rtm_snapshot_pallas)
         ctx, v2, wav = small
         dobs = jnp.zeros((ctx.nx, ctx.nt), jnp.float32)
         _aot(tpu_sharding,
              lambda v2, wav, dobs, sx: rtm_snapshot_pallas(
-                 ctx, v2, wav, dobs, sx, 5, 5, lap_impl="mxu"),
+                 ctx, v2, wav, dobs, sx, 5, 5, lap_impl=lap_impl),
              v2, wav, dobs, jnp.int32(40))
 
     def test_forward_modeling(self, tpu_sharding, small):

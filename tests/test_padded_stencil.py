@@ -67,26 +67,28 @@ def test_chain_is_fixed_point():
     np.testing.assert_allclose(got, ref2, atol=tol, rtol=0)
 
 
+@pytest.mark.parametrize("impl,rel_tol", [("mxu", 2e-5), ("mxu6", 2e-7)])
 @pytest.mark.parametrize("nx,nz,order,tile_rows", [
     (96, 100, 8, 64),      # W == 128: single-block band matrix
     (151, 151, 8, 64),     # W == 256: first/last blocks only
     (200, 300, 8, 64),     # W == 384: one middle block
     (120, 520, 4, 32),     # several middle blocks, order 4
 ])
-def test_mxu_impl_matches_laplacian(nx, nz, order, tile_rows):
+def test_mxu_impl_matches_laplacian(nx, nz, order, tile_rows, impl, rel_tol):
     """impl='mxu' (z-taps as banded MXU matmuls, manual 3-pass bf16) agrees
-    with the exact path to the documented ~5e-6 relative tolerance and
-    keeps the same zero-pad support."""
+    with the exact path to the documented ~5e-6 relative tolerance —
+    impl='mxu6' (6-pass triple split) to ~f32 level — and both keep the
+    same zero-pad support."""
     rng = np.random.default_rng(3)
     base = rng.standard_normal((nx, nz)).astype(np.float32)
     cx, cz = numerics.scaled_coefficients(order, 10.0, 7.5)
     p_pad = to_padded(jnp.asarray(base), order, tile_rows)
     out = laplacian_pallas_padded(p_pad, cx, cz, order, nx, nz, tile_rows,
-                                  interpret=True, impl="mxu")
+                                  interpret=True, impl=impl)
     ref = np.asarray(laplacian(jnp.asarray(base), jnp.asarray(cx),
                                jnp.asarray(cz), order))
     got = np.asarray(from_padded(jnp.asarray(out), nx, nz, order, tile_rows))
-    tol = 2e-5 * max(1.0, np.abs(ref).max())
+    tol = rel_tol * max(1.0, np.abs(ref).max())
     np.testing.assert_allclose(got, ref, atol=tol, rtol=0)
     leak = np.asarray(out).copy()
     R, W, r0, c0 = padded_layout(nx, nz, order, tile_rows)

@@ -59,15 +59,18 @@ class TestRTMSnapshotPallas:
         np.testing.assert_allclose(np.asarray(im1), np.asarray(im0),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("lap_impl,rel_tol", [
+        ("mxu", 1e-4), ("mxu6", 1e-6)])
     @pytest.mark.parametrize("nx,nxb", [
         (28, 8),     # nxe=44  -> lane pad 128, single band block
         (160, 8),    # nxe=176 -> lane pad 256, first/last blocks
         (280, 8),    # nxe=296 -> lane pad 384, with a middle block
     ])
-    def test_mxu_lap_matches_lax(self, rng, nx, nxb):
+    def test_mxu_lap_matches_lax(self, rng, nx, nxb, lap_impl, rel_tol):
         """lap_impl='mxu' (x lane-taps as banded MXU matmuls, manual 3-pass
         bf16) matches the lax path to the documented per-step ~5e-6
-        rounding, accumulated over a short shot."""
+        rounding accumulated over a short shot; lap_impl='mxu6' (6-pass
+        triple split) to ~f32 level."""
         nt = 10
         ctx, v2, wav = _setup(nt, rng, nx=nx, nxb=nxb)
         sx, sz, gz = nxb + nx // 2, 12, 9
@@ -75,11 +78,15 @@ class TestRTMSnapshotPallas:
             rng.standard_normal((ctx.nx, nt)).astype(np.float32))
         im0 = np.asarray(rtm_shot_snapshot(ctx, v2, wav, dobs, sx, sz, gz))
         im1 = np.asarray(rtm_snapshot_pallas(ctx, v2, wav, dobs, sx, sz, gz,
-                                             interpret=True, lap_impl="mxu"))
-        tol = 1e-4 * max(1.0, np.abs(im0).max())
+                                             interpret=True,
+                                             lap_impl=lap_impl))
+        tol = rel_tol * max(1.0, np.abs(im0).max())
         np.testing.assert_allclose(im1, im0, atol=tol, rtol=0)
 
-    def test_mxu_lap_forward_modeling_matches_lax(self, rng):
+    @pytest.mark.parametrize("lap_impl,rel_tol", [
+        ("mxu", 1e-4), ("mxu6", 1e-6)])
+    def test_mxu_lap_forward_modeling_matches_lax(self, rng, lap_impl,
+                                                  rel_tol):
         nt, nx, nxb = 11, 160, 8
         ctx, v2, wav = _setup(nt, rng, nx=nx, nxb=nxb)
         sx, sz, gz = nxb + nx // 2, 12, 9
@@ -88,14 +95,15 @@ class TestRTMSnapshotPallas:
                                        record="trace")
         p1, pp1, s1 = forward_modeling_pallas(ctx, v2, wav, sx, sz, gz,
                                               source="gaussian", taper="all",
-                                              interpret=True, lap_impl="mxu")
-        scale = max(1.0, np.abs(np.asarray(p0)).max())
+                                              interpret=True,
+                                              lap_impl=lap_impl)
+        tol = rel_tol * max(1.0, np.abs(np.asarray(p0)).max())
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
-                                   atol=1e-4 * scale, rtol=0)
+                                   atol=tol, rtol=0)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
-                                   atol=1e-4 * scale, rtol=0)
+                                   atol=tol, rtol=0)
         np.testing.assert_allclose(np.asarray(pp1), np.asarray(pp0),
-                                   atol=1e-4 * scale, rtol=0)
+                                   atol=tol, rtol=0)
 
     @pytest.mark.parametrize("nt", [10, 11])
     def test_strip_taper_bitwise_equals_fused(self, monkeypatch, rng, nt):

@@ -316,7 +316,9 @@ def config6d_mxu_fast_path(quick: bool = False):
     to ~2.4e-3 — outside the 1e-4 parity bar, inside the documented
     fast-path envelope (5e-3). The row records the number so the
     limitation stays pinned; the exact kernel (the default, row 6
-    marmousi/pallas: ~4e-6) is the path for configs that need 1e-4.
+    marmousi/pallas: ~4e-6) and the 6-pass ``mxu6`` tier (triple bf16
+    split, ~f32-level per apply — measured 4.0e-6 on marmousi, gated at
+    1e-4 here) are the paths for configs that need 1e-4.
     See docs/PALLAS_NOTES.md "z-taps on the MXU" for the analysis."""
     if jax.devices()[0].platform != "tpu":
         record("6d. MXU fast path vs C oracle", "SKIP",
@@ -325,15 +327,18 @@ def config6d_mxu_fast_path(quick: bool = False):
     import tempfile
     from parallel_finite_difference_computation_tpu.utils.oracle import (
         gpu_goldens)
-    runs = ["3lay_gpu"] if quick else ["3lay_gpu", "marmousi"]
+    runs = ([("3lay_gpu", "mxu")] if quick else
+            [("3lay_gpu", "mxu"), ("marmousi", "mxu"),
+             ("marmousi", "mxu6")])
     old = os.environ.get("PFDC_LAP_IMPL")
-    os.environ["PFDC_LAP_IMPL"] = "mxu"
     try:
-        for name in runs:
+        for name, impl in runs:
+            os.environ["PFDC_LAP_IMPL"] = impl
+            label = f"6d. MXU fast path vs C oracle ({name}/{impl})"
             try:
                 paths = gpu_goldens(name)
             except FileNotFoundError as e:
-                record(f"6d. MXU fast path vs C oracle ({name})", "SKIP",
+                record(label, "SKIP",
                        "reference artifact missing", str(e)[:40])
                 continue
             p = pfdc.parse_input_dat(str(paths["input_parity"]))
@@ -342,7 +347,7 @@ def config6d_mxu_fast_path(quick: bool = False):
                     img, imlocs = pipeline.run_rtm_gpu(p, backend="pallas",
                                                        outdir=td)
                 except Exception as e:
-                    record(f"6d. MXU fast path vs C oracle ({name})",
+                    record(label,
                            "FAIL", f"{type(e).__name__}: {str(e)[:80]}",
                            f"ns={p.ns} nt={p.nt} {p.nx}x{p.nz}")
                     continue
@@ -353,20 +358,20 @@ def config6d_mxu_fast_path(quick: bool = False):
             r = rel_rms(np.asarray(img), golden)
             rs = max(rel_rms(np.asarray(imlocs[i]), gims[i])
                      for i in range(p.ns))
-            if name == "3lay_gpu":
+            if name == "3lay_gpu" or impl == "mxu6":
                 ok = r < GATE and rs < GATE
                 bar = f"1e-4 parity bar (headline-eligibility)"
             else:
-                # marmousi: the documented fast-path limitation — must
+                # marmousi/mxu: the documented 3-pass limitation — must
                 # stay within the measured envelope, and the row pins the
-                # actual drift (the 1e-4 path is the default exact kernel)
+                # actual drift (1e-4 runs use the exact kernel or mxu6)
                 ok = r < MXU_ENVELOPE and rs < MXU_ENVELOPE
                 bar = (f"documented limitation: outside the 1e-4 bar, "
                        f"within the {MXU_ENVELOPE:g} fast-path envelope")
-            record(f"6d. MXU fast path vs C oracle ({name})",
+            record(label,
                    "PASS" if ok else "FAIL",
                    f"image {r:.2e}, worst shot {rs:.2e}",
-                   f"PFDC_LAP_IMPL=mxu, ns={p.ns} nt={p.nt} "
+                   f"PFDC_LAP_IMPL={impl}, ns={p.ns} nt={p.nt} "
                    f"{p.nx}x{p.nz}; {bar}")
     finally:
         if old is None:
