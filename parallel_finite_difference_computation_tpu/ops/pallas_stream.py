@@ -368,3 +368,210 @@ def fd_step_gpu_padded(y_pad, x_pad, v2_pad, mask_pad, coefs_x, coefs_z,
         compiler_params=cp,
         interpret=interpret,
     )(y_pad, mask_pad, x_pad, v2_pad, jnp.asarray(masks), *extra)
+
+
+# ---------------------------------------------------------------------------
+# Temporal blocking: K fused steps per HBM pass (the beyond-VMEM tier's
+# DMA-bound ceiling breaker)
+# ---------------------------------------------------------------------------
+
+def _kslab_dma_start(hbms, scratches, sems, ti, slot, tx, hk, n_tx, R):
+    """Start the halo reads of row-tile ``ti`` (rows ``[ti*tx - hk,
+    (ti+1)*tx + hk)``) for every (hbm, scratch) pair into ``slot``; edge
+    tiles read a frame-shifted but in-bounds window exactly like
+    :func:`.pallas_stencil._halo_dma_start` (their outputs land in layout
+    slack whose values no valid computation ever reads — the premasked
+    ``v2m`` operand zeroes every Laplacian that could touch pad rows)."""
+    rows_slot = tx + 2 * hk
+
+    @pl.when(ti == 0)
+    def _():
+        for j, (hbm, sc) in enumerate(zip(hbms, scratches)):
+            pltpu.make_async_copy(hbm.at[pl.ds(0, rows_slot), :],
+                                  sc.at[slot], sems.at[j, slot]).start()
+
+    @pl.when((ti > 0) & (ti < n_tx - 1))
+    def _():
+        row = pl.multiple_of(ti * tx - hk, 8)
+        for j, (hbm, sc) in enumerate(zip(hbms, scratches)):
+            pltpu.make_async_copy(hbm.at[pl.ds(row, rows_slot), :],
+                                  sc.at[slot], sems.at[j, slot]).start()
+
+    @pl.when(ti == n_tx - 1)
+    def _():
+        for j, (hbm, sc) in enumerate(zip(hbms, scratches)):
+            pltpu.make_async_copy(hbm.at[pl.ds(R - rows_slot, rows_slot), :],
+                                  sc.at[slot], sems.at[j, slot]).start()
+
+
+def _kslab_dma_wait(hbms, scratches, sems, slot, tx, hk):
+    for j, (hbm, sc) in enumerate(zip(hbms, scratches)):
+        pltpu.make_async_copy(hbm.at[pl.ds(0, tx + 2 * hk), :],
+                              sc.at[slot], sems.at[j, slot]).wait()
+
+
+def _lap_x_slab(x, order, cx):
+    """x (sublane) taps of a slab on rows ``[h, S-h)``, full lane width,
+    zero-padded back to S rows — edge rows get lap 0 instead of a value,
+    which only relocates the invalidation front the K-step contract
+    already discards (see :func:`_kstep_kernel`)."""
+    S, W = x.shape
+    h = order // 2
+    rx = S - order
+    c = jax.lax.slice(x, (h, 0), (h + rx, W))
+    acc = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(x, (h - k, 0), (h - k + rx, W))
+        xp = jax.lax.slice(x, (h + k, 0), (h + k + rx, W))
+        term = cx[h + k] * (xm + xp)
+        acc = term if acc is None else acc + term
+    acc = acc + cx[h] * c
+    return jnp.pad(acc, ((h, h), (0, 0)))
+
+
+def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
+                  p_hbm, pp_hbm, v2m_hbm, mask_hbm, patchm_hbm,
+                  wav_ref, onegz_ref, onesk_ref, *rest):
+    """K fused leapfrog+taper steps on a halo-extended row slab.
+
+    The slab carries ``hk >= K*h`` halo rows; per step the Laplacian
+    validity front advances ``h`` rows inward from each slab edge (edge
+    rows read zero-padded taps), so after K steps the center ``tx`` rows
+    are exactly the unblocked values (``v2m`` is premultiplied by
+    ``dt2`` AND the global Laplacian interior mask, so laps that could
+    touch layout slack are zeroed by the operand — no per-row
+    bookkeeping in-kernel). Source injection adds ``wav[k] * patchm``
+    (the 7x7 Gaussian pre-placed and pre-tapered on the full padded
+    layout — ``fd-code.cu:380-584`` order: update -> inject -> taper,
+    matching :func:`...solver.forward_modeling_tiled`). Step k's tapered
+    field is recorded at receiver lane gz via an exact one-hot reduce
+    (adding zeros: bit-exact) into lane k of ``rec_out``.
+
+    ``use_mxu``: z (lane) taps as banded MXU matmuls on the full slab
+    (:func:`..pallas_stencil._lap_z_mxu_full`), x taps on the VPU."""
+    from .stencil import lap_in_kernel
+    from .pallas_stencil import _lap_z_mxu_full
+    if use_mxu:
+        sf_ref, sm_ref, sl_ref = rest[:3]
+        rest = rest[3:]
+
+        def lap_fn(x):
+            return (_lap_z_mxu_full(x, x.shape[0], W, sf_ref, sm_ref,
+                                    sl_ref)
+                    + _lap_x_slab(x, order, cx))
+    else:
+        lap_fn = lambda x: lap_in_kernel(x, cx, cz, order)
+    (pn_out, ppn_out, rec_out,
+     p_s, pp_s, v2m_s, mask_s, patchm_s, sems) = rest
+    hbms = (p_hbm, pp_hbm, v2m_hbm, mask_hbm, patchm_hbm)
+    scrs = (p_s, pp_s, v2m_s, mask_s, patchm_s)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, 0, 0, tx, hk, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, i + 1, jax.lax.rem(i + 1, 2),
+                         tx, hk, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _kslab_dma_wait(hbms, scrs, sems, cur, tx, hk)
+
+    x = p_s[cur]
+    y = pp_s[cur]
+    v2m = v2m_s[cur]
+    m = mask_s[cur]
+    pm = patchm_s[cur]
+    rec = jnp.zeros((tx, 128), jnp.float32)
+    for k in range(K):
+        lap = lap_fn(x)
+        ynew = (2.0 * x - y + v2m * lap) * m + wav_ref[k, 0] * pm
+        xnew = x * m
+        c = jax.lax.slice(xnew, (hk, 0), (hk + tx, W))
+        col = jnp.sum(c * onegz_ref[0:1, :], axis=1, keepdims=True)
+        rec = rec + col * onesk_ref[k:k + 1, :]
+        x, y = ynew, xnew
+    pn_out[:, :] = jax.lax.slice(x, (hk, 0), (hk + tx, W))
+    ppn_out[:, :] = jax.lax.slice(y, (hk, 0), (hk + tx, W))
+    rec_out[:, :] = rec
+
+
+def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav_chunk,
+                    gz_col: int, coefs_x, coefs_z, order: int,
+                    nxe: int, nze: int, block_k: int,
+                    tile_rows: int = 256, interpret: bool = False,
+                    lap_impl=None):
+    """``block_k`` fused steps per single HBM pass — temporal blocking of
+    :func:`fd_step_padded`. The per-step tier reads 4 and writes 2 full
+    fields per step (DMA-bound at ~13 GCell/s pluto-scale); this kernel
+    reads 5 halo-extended slabs and writes 2 + a trace block per **K**
+    steps, cutting HBM traffic ~``6/(7.3/K)`` and moving the tier toward
+    the VPU compute ceiling.
+
+    Operands (all on the :func:`padded_layout(nxe, nze, order,
+    tile_rows)`): ``v2m_pad`` premultiplied by ``dt2`` and the global
+    Laplacian interior mask; ``patchm_pad`` the source patch pre-placed
+    at (sx, sz) and pre-tapered (``patch * mask``); ``wav_chunk`` the
+    (K,) wavelet amplitudes of this pass; ``gz_col`` the receiver lane
+    (``col0 + gz``). Returns ``(p', pp', rec)`` with ``rec`` (R, 128):
+    lane k holds the step-k tapered field's receiver column (valid rows =
+    content rows; lanes >= K are zero).
+
+    Requires ``K*h`` (rounded to 8) halo rows <= tile_rows."""
+    h = order // 2
+    K = int(block_k)
+    hk = -(-(K * h) // 8) * 8
+    tx = tile_rows
+    # the shared check enforces hk <= tile_rows (the halo DMA contract)
+    _check_tile_rows(tx, hk)
+    R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
+    assert p_pad.shape == (R, W), (p_pad.shape, (R, W))
+    n_tx = R // tx
+
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    # gz may be traced (it is a plain arg of the tiled driver): build the
+    # receiver-lane one-hot with jnp
+    lane = jnp.arange(W, dtype=jnp.int32)
+    onegz = jnp.broadcast_to((lane == gz_col).astype(jnp.float32)[None, :],
+                             (8, W))
+    onesk = np.zeros((8 * ((K + 7) // 8), 128), np.float32)
+    for k in range(K):
+        onesk[k, k] = 1.0
+    wav2 = jnp.reshape(wav_chunk.astype(jnp.float32), (K, 1))
+
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
+    S = tx + 2 * hk
+    # 5 double-buffered slabs + 3 output blocks (x2 pipelining) + the
+    # unrolled-K vector stack (~the whole-shot kernels' 24-slab margin)
+    cp = vmem_params(((10 + 24) * S + 6 * tx) * W * 4)
+    kern = functools.partial(_kstep_kernel, order, hk, K, tx, n_tx, R, W,
+                             cz, cx, use_mxu)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    slab = lambda: pltpu.VMEM((2, S, W), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[any_spec] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem]
+        + [vmem] * len(extra),
+        out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tx, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32),
+                   jax.ShapeDtypeStruct((R, W), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 128), jnp.float32)],
+        scratch_shapes=[slab(), slab(), slab(), slab(), slab(),
+                        pltpu.SemaphoreType.DMA((5, 2))],
+        compiler_params=cp,
+        interpret=interpret,
+    )(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav2,
+      onegz, jnp.asarray(onesk), *extra)

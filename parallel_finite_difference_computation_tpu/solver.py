@@ -179,11 +179,11 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
 
 
 @partial(jax.jit, static_argnames=("ctx", "source", "taper", "record",
-                                   "tile_rows", "interpret"))
+                                   "tile_rows", "interpret", "block_k"))
 def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
                            source: str = "gaussian", taper: str = "all",
                            record: str = "trace", tile_rows: int = 64,
-                           interpret: bool = False):
+                           interpret: bool = False, block_k: int = 1):
     """:func:`forward_modeling` for grids beyond VMEM: the per-step
     Laplacian+leapfrog+taper is ONE fused HBM-streaming Pallas
     pass (:func:`..ops.pallas_stream.fd_step_padded`) on the fixed-point
@@ -197,6 +197,13 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
     177-181``) — the single-chip beyond-VMEM tier of the full-wavefield
     ``rtm_main`` flavor (see :func:`rtm_shot_full_tiled`).
 
+    ``block_k > 1`` switches to the temporal-blocking kernel
+    (:func:`..ops.pallas_stream.fd_kstep_padded`): K fused steps per HBM
+    pass — source injection, taper and trace recording move in-kernel —
+    breaking the per-step tier's DMA-bound ceiling (trace/none recording
+    only; wavefield recording needs every step's full field in HBM and
+    keeps the per-step kernel).
+
     Returns ``(p, pp, recorded)`` shaped exactly like
     :func:`forward_modeling`.
     """
@@ -204,6 +211,10 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
                                     to_padded, from_padded)
     if record not in ("trace", "wavefield", "none"):
         raise ValueError(f"unknown record mode {record!r}")
+    if block_k > 1 and record != "wavefield":
+        return _forward_modeling_kblocked(ctx, v2, wavelet, sx, sz, gz,
+                                          source, taper, record, tile_rows,
+                                          interpret, block_k)
     order = ctx.order
     R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tile_rows)
     v2_pad = to_padded(v2, order, tile_rows)
@@ -244,6 +255,71 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
     (p, pp), rec = jax.lax.scan(step, (zero, zero), wavelet)
     return (from_padded(p, ctx.nxe, ctx.nze, order, tile_rows),
             from_padded(pp, ctx.nxe, ctx.nze, order, tile_rows), rec)
+
+
+def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
+                               source: str, taper: str, record: str,
+                               tile_rows: int, interpret: bool,
+                               block_k: int):
+    """Temporal-blocking body of :func:`forward_modeling_tiled`
+    (``block_k > 1``): scan over nt//K K-step HBM passes
+    (:func:`..ops.pallas_stream.fd_kstep_padded`), plus one tail pass for
+    ``nt % K``. Injection/taper/recording semantics match the per-step
+    driver exactly (update -> inject -> taper order of ``fd-code.cu``;
+    the recorded trace is the tapered time-t field's receiver column,
+    extracted in-kernel by an exact one-hot reduce)."""
+    from .ops.pallas_stream import (fd_kstep_padded, padded_layout,
+                                    to_padded, from_padded)
+    from .ops.stencil import lap_interior_mask
+    order = ctx.order
+    tr = tile_rows
+    R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tr)
+    v2m_pad = to_padded(
+        v2 * ctx.dt2 * jnp.asarray(lap_interior_mask(ctx.nxe, ctx.nze,
+                                                     order)), order, tr)
+    mask_pad = to_padded(
+        jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
+        order, tr)
+    if source == "gaussian":
+        patch = jnp.asarray(ctx.source_patch)
+    else:
+        patch = jnp.ones((1, 1), jnp.float32)
+    r = patch.shape[0] // 2
+    patchm_pad = jax.lax.dynamic_update_slice(
+        jnp.zeros((R, W), jnp.float32), patch,
+        (row0 + sx - r, col0 + sz - r)) * mask_pad
+
+    nt = wavelet.shape[0]
+    K = int(block_k)
+    npass, tail = nt // K, nt % K
+
+    def one_pass(p, pp, wchunk, k):
+        pn, ppn, rec = fd_kstep_padded(
+            p, pp, v2m_pad, mask_pad, patchm_pad, wchunk, col0 + gz,
+            ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
+            interpret=interpret)
+        # rec lane k = step-k receiver column over rows; valid rows are
+        # the interior content rows
+        tr_chunk = jax.lax.slice(rec, (row0 + ctx.nxb, 0),
+                                 (row0 + ctx.nxb + ctx.nx, k))
+        return pn, ppn, tr_chunk
+
+    def step(carry, wchunk):
+        p, pp = carry
+        pn, ppn, tr_chunk = one_pass(p, pp, wchunk, K)
+        return (pn, ppn), tr_chunk
+
+    zero = jnp.zeros((R, W), jnp.float32)
+    (p, pp), recs = jax.lax.scan(step, (zero, zero),
+                                 wavelet[:npass * K].reshape(npass, K))
+    # (npass, nx, K) -> (npass, K, nx) -> (npass*K, nx)
+    rec = jnp.transpose(recs, (0, 2, 1)).reshape(npass * K, ctx.nx)
+    if tail:
+        p, pp, tr_chunk = one_pass(p, pp, wavelet[npass * K:], tail)
+        rec = jnp.concatenate([rec, jnp.transpose(tr_chunk)], axis=0)
+    out = rec if record == "trace" else None
+    return (from_padded(p, ctx.nxe, ctx.nze, order, tr),
+            from_padded(pp, ctx.nxe, ctx.nze, order, tr), out)
 
 
 @partial(jax.jit, static_argnames=("ctx", "tile_rows", "interpret"))

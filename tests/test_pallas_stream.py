@@ -52,10 +52,12 @@ def test_single_step_matches_lax_update():
     assert np.abs(leak).max() == 0.0
 
 
-def test_single_step_mxu_matches_exact():
+@pytest.mark.parametrize("lap_impl,rel_tol", [("mxu", 2e-5),
+                                              ("mxu6", 2e-7)])
+def test_single_step_mxu_matches_exact(lap_impl, rel_tol):
     """lap_impl='mxu' on the streaming fused step (z lane-taps as banded
     MXU matmuls): matches the exact kernel to the manual-bf16_3x
-    tolerance and keeps the pads exactly zero."""
+    tolerance ('mxu6' to ~f32 level) and keeps the pads exactly zero."""
     ctx = _ctx(nz=260)  # W = 384: exercises a middle band block
     rng = np.random.default_rng(4)
     shape = (ctx.nxe, ctx.nze)
@@ -69,9 +71,9 @@ def test_single_step_mxu_matches_exact():
             for a in (p, pp, v2, mask)]
     pn0, ppn0 = fd_step_padded(*pads, *args, tile_rows=tr, interpret=True)
     pn1, ppn1 = fd_step_padded(*pads, *args, tile_rows=tr, interpret=True,
-                               lap_impl="mxu")
+                               lap_impl=lap_impl)
     ppn0, ppn1 = np.asarray(ppn0), np.asarray(ppn1)
-    tol = 2e-5 * max(1.0, np.abs(ppn0).max())
+    tol = rel_tol * max(1.0, np.abs(ppn0).max())
     np.testing.assert_allclose(ppn1, ppn0, atol=tol, rtol=0)
     np.testing.assert_array_equal(np.asarray(pn1), np.asarray(pn0))
     R, W, r0, c0 = padded_layout(ctx.nxe, ctx.nze, ctx.order, tr)
@@ -143,6 +145,47 @@ def test_modeling_matches_lax_path(source):
     fscale = max(1.0, float(np.abs(np.asarray(p1)).max()))
     assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-5 * fscale
     assert np.abs(np.asarray(pp2) - np.asarray(pp1)).max() < 1e-5 * fscale
+
+
+@pytest.mark.parametrize("block_k,tile_rows", [
+    (2, 16),    # tail pass (nt=12 -> 6 passes, no tail) + small tiles
+    (3, 16),    # nt=12 -> 4 passes; K*h=12 rounds to hk=16 == tile_rows
+    (5, 24),    # tail pass (12 = 2*5 + 2): second kernel instance
+])
+def test_kstep_modeling_matches_lax_path(block_k, tile_rows):
+    """Temporal blocking (fd_kstep_padded: K fused steps per HBM pass,
+    in-kernel injection/taper/trace-recording) matches the lax path to
+    float rounding — same bar as the per-step tier."""
+    ctx = _ctx()
+    rng = np.random.default_rng(6)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    sx, sz, gz = ctx.nxb + 10, ctx.nzb + 3, ctx.nzb + 1
+    p1, pp1, rec1 = forward_modeling(ctx, jnp.asarray(v2), wav, sx, sz, gz,
+                                     source="gaussian", taper="all",
+                                     record="trace")
+    p2, pp2, rec2 = forward_modeling_tiled(ctx, jnp.asarray(v2), wav,
+                                           sx, sz, gz, source="gaussian",
+                                           tile_rows=tile_rows,
+                                           interpret=True,
+                                           block_k=block_k)
+    scale = max(1.0, float(np.abs(np.asarray(rec1)).max()))
+    assert np.abs(np.asarray(rec2) - np.asarray(rec1)).max() < 1e-5 * scale
+    fscale = max(1.0, float(np.abs(np.asarray(p1)).max()))
+    assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-5 * fscale
+    assert np.abs(np.asarray(pp2) - np.asarray(pp1)).max() < 1e-5 * fscale
+
+
+def test_kstep_rejects_oversize_halo():
+    """block_k whose rounded halo exceeds tile_rows is refused up front
+    (the shared halo-DMA contract check)."""
+    ctx = _ctx()
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    with pytest.raises(ValueError, match="tile_rows must be"):
+        forward_modeling_tiled(ctx, jnp.zeros((ctx.nxe, ctx.nze)), wav,
+                               10, 8, 8, tile_rows=16, interpret=True,
+                               block_k=8)
 
 
 def test_rtm_snapshot_tiled_matches_lax_path():

@@ -255,6 +255,12 @@ class TestDomainPallas:
         (tails exercised: nt=42, K=4)."""
         self._run(rng, mesh4, nt=42, block_k=4, lap_impl="mxu", atol=1e-4)
 
+    def test_matches_unsharded_mxu6_taps(self, rng, mesh4):
+        """lap_impl='mxu6' (6-pass triple-split accuracy tier) on the
+        blocked domain kernels: same lane-padding path, ~f32-level
+        tolerance."""
+        self._run(rng, mesh4, nt=42, block_k=4, lap_impl="mxu6", atol=1e-6)
+
     def test_source_near_shard_edge(self, rng, mesh4):
         """Source lane adjacent to a shard boundary: its injection must
         propagate through neighbours' halo recomputation."""
