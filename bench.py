@@ -502,12 +502,15 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64,
     return n * n / t / 1e9, t, err, n * n / t_slope / 1e9
 
 
-def bench_pluto_modeling(nt: int = 400):
+def bench_pluto_modeling(nt: int = 400, block_k: int = 1,
+                         tile_rows: int = 64):
     """Forward modeling at the reference's full-resolution Pluto dims
     (1201x6960, ``build/pluto/input.orig``; its velocity blob is gitignored
     upstream, so the model is synthetic): the fused HBM-streaming step
     (:func:`...solver.forward_modeling_tiled`) — the beyond-VMEM tier of
-    the modeling backend chain. Returns (ms_per_step, gcell_per_s)."""
+    the modeling backend chain. ``block_k > 1`` measures the
+    temporal-blocking kernel (K fused steps per HBM pass).
+    Returns (ms_per_step, gcell_per_s)."""
     from parallel_finite_difference_computation_tpu.solver import (
         FDContext, forward_modeling_tiled)
     from parallel_finite_difference_computation_tpu.models.zoo import (
@@ -521,7 +524,9 @@ def bench_pluto_modeling(nt: int = 400):
     v2 = np.asarray(numerics.extendvel_clamp(v2, 6960, 1201, 40, 40))
     wav = np.asarray(numerics.ricker_wavelet(nt, 0.0007, 6.0))
 
-    fn = lambda w, v: forward_modeling_tiled(ctx, v, w, 2740, 40, 40)[2]
+    fn = lambda w, v: forward_modeling_tiled(ctx, v, w, 2740, 40, 40,
+                                             tile_rows=tile_rows,
+                                             block_k=block_k)[2]
     make = lambda i: (jnp.asarray(wav * (1 + 1e-6 * i)),
                       jnp.asarray(v2 * (1 + 1e-7 * abs(i))))
     t = _prof_timeit(make, fn, warmup=2, iters=3) / nt
@@ -780,6 +785,32 @@ def _main_body():
             details["modeling_pluto_scale_mxu_gcell_per_s"] = gc
         except Exception as e:
             details["modeling_pluto_scale_mxu_error"] = str(e)[:200]
+        try:
+            # temporal blocking: K fused steps per HBM pass breaks the
+            # per-step tier's DMA floor (ops/pallas_stream.fd_kstep_padded);
+            # K=4 measures best (halo-redundancy compute grows with K)
+            ms, gc = bench_pluto_modeling(block_k=4, tile_rows=256)
+            details["modeling_pluto_scale_kstep4_ms_per_step"] = ms
+            details["modeling_pluto_scale_kstep4_gcell_per_s"] = gc
+        except Exception as e:
+            details["modeling_pluto_scale_kstep4_error"] = str(e)[:200]
+        try:
+            # ... and its MXU z-tap variant (the streaming tier's fastest
+            # path: temporal blocking removes the DMA bound that made the
+            # per-step MXU variant a 1.06x wash)
+            old_lap = os.environ.get("PFDC_LAP_IMPL")
+            os.environ["PFDC_LAP_IMPL"] = "mxu"
+            try:
+                ms, gc = bench_pluto_modeling(block_k=4, tile_rows=256)
+            finally:
+                if old_lap is None:
+                    os.environ.pop("PFDC_LAP_IMPL", None)
+                else:
+                    os.environ["PFDC_LAP_IMPL"] = old_lap
+            details["modeling_pluto_scale_kstep4_mxu_ms_per_step"] = ms
+            details["modeling_pluto_scale_kstep4_mxu_gcell_per_s"] = gc
+        except Exception as e:
+            details["modeling_pluto_scale_kstep4_mxu_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:

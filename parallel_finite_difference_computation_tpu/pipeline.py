@@ -172,12 +172,17 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                 ctx, vel2, wav, sx, g.sz, g.gz,
                 source="gaussian", taper="all")[2], sxs))
         # middle tier for grids beyond VMEM (e.g. pluto-resolution): the
-        # fused HBM-streaming step (~3.7x the lax path at 6960x1201)
+        # temporal-blocked HBM-streaming kernel (K=4 fused steps per HBM
+        # pass, 23.3 vs 19.1 GCell/s per-step at 6960x1201; ~4.3x the lax
+        # path). K=4 needs hk=16 <= tile_rows and nt >= 1 only (the
+        # kblocked driver tail-passes nt % K).
         from .solver import forward_modeling_tiled
+        tr_tile = 256 if ctx.nxe >= 2048 else 64
         run_tiled = jax.jit(lambda sxs: jax.lax.map(
             lambda sx: forward_modeling_tiled(
                 ctx, vel2, wav, sx, g.sz, g.gz,
-                source="gaussian")[2], sxs))
+                source="gaussian", tile_rows=tr_tile,
+                block_k=min(4, ctx.nt))[2], sxs))
     run_lax = jax.vmap(
         lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
                                     source="gaussian", taper="all",
