@@ -533,6 +533,38 @@ def bench_pluto_modeling(nt: int = 400, block_k: int = 1,
     return t * 1e3, ctx.nxe * ctx.nze / t / 1e9
 
 
+def bench_pluto_rtm(nt: int = 400, block_k: int = 1, tile_rows: int = 256):
+    """Two-snapshot RTM at the Pluto dims — the reference's flagship
+    domain-division use case (``dpct_gpu_rtm_domain_division/build/
+    spluto``) on one chip via the beyond-VMEM streaming tier
+    (:func:`...solver.rtm_shot_snapshot_tiled`). ``block_k > 1`` measures
+    the temporal-blocking kernels (K fused fd_forward/fd_back steps per
+    HBM pass). Returns (ms_per_timestep, gcell_updates_per_s) — three
+    field updates per timestep (1 forward + 2 backward)."""
+    from parallel_finite_difference_computation_tpu.solver import (
+        FDContext, rtm_shot_snapshot_tiled)
+    from parallel_finite_difference_computation_tpu.models.zoo import (
+        layered_model)
+    ctx = FDContext.create(6960, 1201, nt, dx=7.62, dz=7.62, dt=0.0007,
+                           order=8, nxb=40, nzb=40, fac=0.75)
+    vp = layered_model(6960, 1201,
+                       velocities=(1500.0, 2200.0, 3000.0, 4000.0))
+    v2 = np.zeros((ctx.nxe, ctx.nze), np.float32)
+    v2[40:-40, 40:-40] = vp * vp
+    v2 = np.asarray(numerics.extendvel_clamp(v2, 6960, 1201, 40, 40))
+    wav = np.asarray(numerics.ricker_wavelet(nt, 0.0007, 6.0))
+    rng = np.random.default_rng(0)
+    dobs = rng.standard_normal((6960, nt)).astype(np.float32)
+
+    fn = lambda w, v, d: rtm_shot_snapshot_tiled(
+        ctx, v, w, d, 2740, 40, 40, tile_rows=tile_rows, block_k=block_k)
+    make = lambda i: (jnp.asarray(wav * (1 + 1e-6 * i)),
+                      jnp.asarray(v2 * (1 + 1e-7 * abs(i))),
+                      jnp.asarray(dobs * (1 + 1e-6 * i)))
+    t = _prof_timeit(make, fn, warmup=1, iters=2) / nt
+    return t * 1e3, 3 * ctx.nxe * ctx.nze / t / 1e9
+
+
 # Perf floors: regression gates over the round-1/round-2 measured numbers
 # (batched pallas 3lay measured ~6.8 ms; tiled stencil measured 15.9-24.8
 # GCell/s across sessions — the floor catches real regressions, not
@@ -811,6 +843,22 @@ def _main_body():
             details["modeling_pluto_scale_kstep4_mxu_gcell_per_s"] = gc
         except Exception as e:
             details["modeling_pluto_scale_kstep4_mxu_error"] = str(e)[:200]
+        try:
+            # pluto-scale two-snapshot RTM (the reference's flagship
+            # domain-division config on one chip): per-step streaming tier
+            ms, gc = bench_pluto_rtm()
+            details["rtm_pluto_scale_ms_per_step"] = ms
+            details["rtm_pluto_scale_gcell_upd_per_s"] = gc
+        except Exception as e:
+            details["rtm_pluto_scale_error"] = str(e)[:200]
+        try:
+            # ... and its temporally-blocked kernels (K=4 fused
+            # fd_forward/fd_back steps per HBM pass)
+            ms, gc = bench_pluto_rtm(block_k=4)
+            details["rtm_pluto_scale_kstep4_ms_per_step"] = ms
+            details["rtm_pluto_scale_kstep4_gcell_upd_per_s"] = gc
+        except Exception as e:
+            details["rtm_pluto_scale_kstep4_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:

@@ -38,6 +38,8 @@ from .pallas_stencil import (padded_layout, to_padded, from_padded,
                              _check_tile_rows)
 
 __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
+           "fd_kstep_padded", "fd_kstep_gpu_fwd_padded",
+           "fd_kstep_gpu_bwd_padded",
            "padded_layout", "to_padded", "from_padded"]
 
 
@@ -575,3 +577,255 @@ def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav_chunk,
         interpret=interpret,
     )(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav2,
       onegz, jnp.asarray(onesk), *extra)
+
+
+# ---------------------------------------------------------------------------
+# Temporal blocking of the GPU-suite steps (fd_forward / fd_back,
+# fd-code.cu:247-341): K fused taper-first steps per HBM pass
+# ---------------------------------------------------------------------------
+
+def _kstep_gpu_fwd_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
+                          p_hbm, pp_hbm, v2m_hbm, mask_hbm, pointm_hbm,
+                          wav_ref, *rest):
+    """K fused ``fd_forward`` steps (taper-first flavor) on a halo-extended
+    row slab: per step ``t = pp*m; pp' = 2t - p*m + v2m*lap(t) +
+    wav[k]*pointm; p' = t`` (``fd-code.cu:259-267`` order: taper -> update
+    -> point source). Same validity-front/slack contract as
+    :func:`_kstep_kernel` (``v2m`` premasked by the Laplacian interior;
+    slack rows re-zero through ``m``/``v2m`` every step)."""
+    from .stencil import lap_in_kernel
+    from .pallas_stencil import _lap_z_mxu_full
+    if use_mxu:
+        sf_ref, sm_ref, sl_ref = rest[:3]
+        rest = rest[3:]
+
+        def lap_fn(a):
+            return (_lap_z_mxu_full(a, a.shape[0], W, sf_ref, sm_ref,
+                                    sl_ref)
+                    + _lap_x_slab(a, order, cx))
+    else:
+        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
+    (pn_out, ppn_out, p_s, pp_s, v2m_s, mask_s, pointm_s, sems) = rest
+    hbms = (p_hbm, pp_hbm, v2m_hbm, mask_hbm, pointm_hbm)
+    scrs = (p_s, pp_s, v2m_s, mask_s, pointm_s)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, 0, 0, tx, hk, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, i + 1, jax.lax.rem(i + 1, 2),
+                         tx, hk, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _kslab_dma_wait(hbms, scrs, sems, cur, tx, hk)
+
+    x = p_s[cur]
+    y = pp_s[cur]
+    v2m = v2m_s[cur]
+    m = mask_s[cur]
+    pm = pointm_s[cur]
+    for k in range(K):
+        t = y * m
+        ynew = 2.0 * t - x * m + v2m * lap_fn(t) + wav_ref[k, 0] * pm
+        x, y = t, ynew
+    pn_out[:, :] = jax.lax.slice(x, (hk, 0), (hk + tx, W))
+    ppn_out[:, :] = jax.lax.slice(y, (hk, 0), (hk + tx, W))
+
+
+def fd_kstep_gpu_fwd_padded(p_pad, pp_pad, v2m_pad, mask_pad, pointm_pad,
+                            wav_chunk, coefs_x, coefs_z, order: int,
+                            nxe: int, nze: int, block_k: int,
+                            tile_rows: int = 256, interpret: bool = False,
+                            lap_impl=None):
+    """``block_k`` fused ``fd_forward`` steps per single HBM pass — the
+    GPU-suite (taper-first) analog of :func:`fd_kstep_padded`.
+
+    Operands share :func:`padded_layout(nxe, nze, order, tile_rows)`:
+    ``v2m_pad`` is ``v2 * dt2`` premultiplied by the Laplacian interior
+    mask; ``pointm_pad`` the one-hot point source at ``(row0+sx,
+    col0+sz)`` (raw, NOT pre-tapered — ``fd-code.cu:295`` injects after
+    the taper); ``wav_chunk`` the (K,) amplitudes of this pass. Returns
+    ``(p', pp')`` exactly as K iterations of
+    :func:`...solver.rtm_shot_snapshot_tiled`'s forward body."""
+    h = order // 2
+    K = int(block_k)
+    hk = -(-(K * h) // 8) * 8
+    tx = tile_rows
+    _check_tile_rows(tx, hk)
+    R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
+    assert p_pad.shape == (R, W), (p_pad.shape, (R, W))
+    n_tx = R // tx
+
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    wav2 = jnp.reshape(wav_chunk.astype(jnp.float32), (K, 1))
+
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
+    S = tx + 2 * hk
+    cp = vmem_params(((10 + 24) * S + 4 * tx) * W * 4)
+    kern = functools.partial(_kstep_gpu_fwd_kernel, order, hk, K, tx, n_tx,
+                             R, W, cz, cx, use_mxu)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    slab = lambda: pltpu.VMEM((2, tx + 2 * hk, W), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[any_spec] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
+        out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32),
+                   jax.ShapeDtypeStruct((R, W), jnp.float32)],
+        scratch_shapes=[slab(), slab(), slab(), slab(), slab(),
+                        pltpu.SemaphoreType.DMA((5, 2))],
+        compiler_params=cp,
+        interpret=interpret,
+    )(p_pad, pp_pad, v2m_pad, mask_pad, pointm_pad, wav2, *extra)
+
+
+def _kstep_gpu_bwd_kernel(order, hk, K, tx, n_tx, R, W, row0, nxb, nx,
+                          cz, cx, use_mxu,
+                          ps_hbm, pps_hbm, pr_hbm, ppr_hbm, v2m_hbm,
+                          mask_hbm, sism_hbm, im_ref, colm_ref, *rest):
+    """K fused ``fd_back`` steps: the untapered source reconstruction and
+    the tapered receiver propagation advance together so the K6 zero-lag
+    correlation accumulates in VMEM and the image round-trips HBM once
+    per pass instead of once per step. Per step (``fd-code.cu:305-341``):
+
+        s   = 2*ps - pps + v2m*lap(ps)          # source reconstruction
+        t   = pr*m                               # receiver taper
+        pr' = 2t - ppr*m + v2m*lap(t) + sism[:, k]*onehot(gz)   # + K5
+        im += s * pr'                            # K6 (interior-masked)
+
+    ``colm_ref`` packs (16, W): rows [0:8] the imaging column keep
+    ``[col0+nzb, col0+nzb+nz)``, rows [8:16] the receiver-lane one-hot."""
+    from .stencil import lap_in_kernel
+    from .pallas_stencil import _lap_z_mxu_full
+    if use_mxu:
+        sf_ref, sm_ref, sl_ref = rest[:3]
+        rest = rest[3:]
+
+        def lap_fn(a):
+            return (_lap_z_mxu_full(a, a.shape[0], W, sf_ref, sm_ref,
+                                    sl_ref)
+                    + _lap_x_slab(a, order, cx))
+    else:
+        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
+    (psn_out, ppsn_out, prn_out, pprn_out, imn_out,
+     ps_s, pps_s, pr_s, ppr_s, v2m_s, mask_s, sism_s, sems) = rest
+    hbms = (ps_hbm, pps_hbm, pr_hbm, ppr_hbm, v2m_hbm, mask_hbm, sism_hbm)
+    scrs = (ps_s, pps_s, pr_s, ppr_s, v2m_s, mask_s, sism_s)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, 0, 0, tx, hk, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, i + 1, jax.lax.rem(i + 1, 2),
+                         tx, hk, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _kslab_dma_wait(hbms, scrs, sems, cur, tx, hk)
+
+    ps = ps_s[cur]
+    pps = pps_s[cur]
+    yr = pr_s[cur]
+    xr = ppr_s[cur]
+    v2m = v2m_s[cur]
+    m = mask_s[cur]
+    sis = sism_s[cur]
+    gzhot = colm_ref[8:9, :]
+    imacc = jnp.zeros((tx, W), jnp.float32)
+    for k in range(K):
+        s = 2.0 * ps - pps + v2m * lap_fn(ps)
+        pps, ps = ps, s
+        t = yr * m
+        yrnew = 2.0 * t - xr * m + v2m * lap_fn(t) + sis[:, k:k + 1] * gzhot
+        xr, yr = t, yrnew
+        imacc = imacc + (jax.lax.slice(s, (hk, 0), (hk + tx, W))
+                         * jax.lax.slice(yrnew, (hk, 0), (hk + tx, W)))
+    rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, (tx, W), 0)
+    keep_im = (rows >= row0 + nxb) & (rows < row0 + nxb + nx)
+    imn_out[:, :] = im_ref[:, :] + jnp.where(
+        keep_im, imacc * colm_ref[0:1, :], 0.0)
+    psn_out[:, :] = jax.lax.slice(ps, (hk, 0), (hk + tx, W))
+    ppsn_out[:, :] = jax.lax.slice(pps, (hk, 0), (hk + tx, W))
+    prn_out[:, :] = jax.lax.slice(yr, (hk, 0), (hk + tx, W))
+    pprn_out[:, :] = jax.lax.slice(xr, (hk, 0), (hk + tx, W))
+
+
+def fd_kstep_gpu_bwd_padded(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad,
+                            mask_pad, sism_pad, im_pad, gz_col,
+                            coefs_x, coefs_z, order: int, nxe: int,
+                            nze: int, nzb: int, nz: int, nxb: int, nx: int,
+                            block_k: int, tile_rows: int = 256,
+                            interpret: bool = False, lap_impl=None):
+    """``block_k`` fused ``fd_back`` steps per single HBM pass. The
+    per-step tier moves ~14 field-traffics per step (two kernels:
+    :func:`fd_update_padded` + :func:`fd_step_gpu_padded` with imaging);
+    this kernel reads 6 halo-extended slabs + a narrow trace block + the
+    image and writes 4 fields + the image per **K** steps.
+
+    ``sism_pad`` is (R, 128): lane k carries the step-k time-reversed
+    trace rows at ``[row0+nxb, row0+nxb+nx)`` (``fd-code.cu:325-329``'s
+    K5 operand for each of the K steps); ``gz_col`` the receiver lane
+    (``col0 + gz``, may be traced). Returns
+    ``(ps', pps', pr', ppr', im')``."""
+    h = order // 2
+    K = int(block_k)
+    hk = -(-(K * h) // 8) * 8
+    tx = tile_rows
+    _check_tile_rows(tx, hk)
+    R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
+    assert ps_pad.shape == (R, W), (ps_pad.shape, (R, W))
+    n_tx = R // tx
+
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    colm = np.zeros((8, W), np.float32)
+    colm[:, col0 + nzb:col0 + nzb + nz] = 1.0
+    # gz may be traced: build the receiver-lane one-hot with jnp
+    lane = jnp.arange(W, dtype=jnp.int32)
+    gzhot = jnp.broadcast_to((lane == gz_col).astype(jnp.float32)[None, :],
+                             (8, W))
+    colm_packed = jnp.concatenate([jnp.asarray(colm), gzhot], axis=0)
+
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
+    S = tx + 2 * hk
+    # 6 wide double-buffered slabs + 6 output/input blocks (x2
+    # pipelining) + the unrolled-2K vector stack
+    cp = vmem_params(((12 + 24) * S + 12 * tx) * W * 4)
+    kern = functools.partial(_kstep_gpu_bwd_kernel, order, hk, K, tx, n_tx,
+                             R, W, row0, nxb, nx, cz, cx, use_mxu)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    slab = lambda: pltpu.VMEM((2, S, W), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[any_spec] * 7
+        + [pl.BlockSpec((tx, W), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
+        out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 5,
+        scratch_shapes=[slab(), slab(), slab(), slab(), slab(), slab(),
+                        pltpu.VMEM((2, S, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((7, 2))],
+        compiler_params=cp,
+        interpret=interpret,
+    )(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad, mask_pad, sism_pad,
+      im_pad, colm_packed, *extra)

@@ -431,11 +431,16 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                 *fd_forward_pallas(ctx, args[0], wav, args[2], g.sz),
                 args[1], g.gz),
             (v2, d, sxs)))
-        # beyond-VMEM tier: fused HBM-streaming padded-layout kernels
+        # beyond-VMEM tier: fused HBM-streaming padded-layout kernels,
+        # temporally blocked (K=4 fused steps per HBM pass — the same
+        # DMA-floor breaker as run_modeling's tiled tier)
         from .solver import rtm_shot_snapshot_tiled
+        tr_tile = 256 if ctx.nxe >= 2048 else 64
         run_tiled = jax.jit(lambda v2, sxs, d: jax.lax.map(
             lambda args: rtm_shot_snapshot_tiled(ctx, args[0], wav, args[1],
-                                                 args[2], g.sz, g.gz),
+                                                 args[2], g.sz, g.gz,
+                                                 tile_rows=tr_tile,
+                                                 block_k=min(4, ctx.nt)),
             (v2, d, sxs)))
         run_split = [run_split, run_tiled]
     run_lax = jax.vmap(

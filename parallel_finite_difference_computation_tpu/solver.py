@@ -322,15 +322,26 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
             from_padded(pp, ctx.nxe, ctx.nze, order, tr), out)
 
 
-@partial(jax.jit, static_argnames=("ctx", "tile_rows", "interpret"))
+@partial(jax.jit, static_argnames=("ctx", "tile_rows", "interpret",
+                                   "block_k"))
 def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
-                            tile_rows: int = 64, interpret: bool = False):
+                            tile_rows: int = 64, interpret: bool = False,
+                            block_k: int = 1):
     """:func:`rtm_shot_snapshot` for grids beyond VMEM: every full-grid
     pass of the GPU-suite shot body streams through the fused padded-layout
     kernels (:mod:`..ops.pallas_stream`) — forward taper-first steps, the
     untapered source reconstruction, and the receiver step with the K5
     column injection and K6 imaging folded in. O(1)-cell point injection
-    and the two snapshot seeds stay in XLA. Returns the (nx, nz) image."""
+    and the two snapshot seeds stay in XLA. Returns the (nx, nz) image.
+
+    ``block_k > 1`` switches to the temporal-blocking kernels
+    (:func:`..ops.pallas_stream.fd_kstep_gpu_fwd_padded` /
+    :func:`..ops.pallas_stream.fd_kstep_gpu_bwd_padded`): K fused steps
+    per HBM pass — injection, taper, and the K6 image accumulation move
+    in-kernel — breaking the per-step tier's DMA-bound ceiling."""
+    if block_k > 1:
+        return _rtm_snapshot_kblocked(ctx, v2, wavelet, dobs, sx, sz, gz,
+                                      tile_rows, interpret, block_k)
     from .ops.pallas_stream import (fd_update_padded, fd_step_gpu_padded,
                                     padded_layout, to_padded, from_padded)
     order = ctx.order
@@ -381,6 +392,93 @@ def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     init = (zero, zero, zero, zero, zero)
     xs = (jnp.arange(ctx.nt), inj)
     (_, _, _, _, im), _ = jax.lax.scan(bwd, init, xs)
+    return jax.lax.slice(im, (row0 + ctx.nxb, col0 + ctx.nzb),
+                         (row0 + ctx.nxb + ctx.nx,
+                          col0 + ctx.nzb + ctx.nz))
+
+
+def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
+                           tile_rows: int, interpret: bool, block_k: int):
+    """Temporal-blocking body of :func:`rtm_shot_snapshot_tiled`
+    (``block_k > 1``): the forward scans nt//K K-step passes
+    (:func:`..ops.pallas_stream.fd_kstep_gpu_fwd_padded`) plus a tail;
+    the backward seeds steps 0-1 from the snapshots through the per-step
+    kernel (``fd-code.cu:311-315``'s it<2 branch), then scans K-step
+    passes of the dual-field kernel
+    (:func:`..ops.pallas_stream.fd_kstep_gpu_bwd_padded`) whose K5
+    operand packs the K time-reversed trace rows into lanes [0, K)."""
+    from .ops.pallas_stream import (fd_kstep_gpu_fwd_padded,
+                                    fd_kstep_gpu_bwd_padded,
+                                    fd_step_gpu_padded,
+                                    padded_layout, to_padded, from_padded)
+    from .ops.stencil import lap_interior_mask
+    order = ctx.order
+    tr = tile_rows
+    K = int(block_k)
+    R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tr)
+    v2_pad = to_padded(v2, order, tr)
+    v2m_pad = to_padded(
+        v2 * ctx.dt2 * jnp.asarray(lap_interior_mask(ctx.nxe, ctx.nze,
+                                                     order)), order, tr)
+    mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tr)
+    pointm_pad = jnp.zeros((R, W), jnp.float32).at[
+        row0 + sx, col0 + sz].set(1.0)
+    zero = jnp.zeros((R, W), jnp.float32)
+    nt = ctx.nt
+
+    def fwd_pass(carry, wchunk, k):
+        p, pp = carry
+        return fd_kstep_gpu_fwd_padded(
+            p, pp, v2m_pad, mask_pad, pointm_pad, wchunk,
+            ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
+            interpret=interpret)
+
+    npass, tail = nt // K, nt % K
+    (p, pp), _ = jax.lax.scan(
+        lambda c, w: (fwd_pass(c, w, K), None), (zero, zero),
+        wavelet[:npass * K].reshape(npass, K))
+    if tail:
+        p, pp = fwd_pass((p, pp), wavelet[npass * K:], tail)
+    snap0_pad, snap1_pad = p, pp
+
+    inj = dobs[:, ::-1].T  # (nt, nx)
+
+    def seed_step(carry, ppn, inj_t):
+        # it<2: the source reconstruction is seeded from the snapshots;
+        # the receiver step (with K5+K6) runs through the per-step kernel
+        p, pp, pr, ppr, im = carry
+        p_new, pp_new = ppn, p
+        scol = jnp.zeros((R, 128), jnp.float32).at[
+            row0 + ctx.nxb:row0 + ctx.nxb + ctx.nx, 0].set(inj_t)
+        prn, pprn, imn = fd_step_gpu_padded(
+            pr, ppr, v2_pad, mask_pad, ctx.coefs_x, ctx.coefs_z, order,
+            ctx.nxe, ctx.nze, ctx.dt2, nxb=ctx.nxb, nzb=ctx.nzb,
+            nx=ctx.nx, nz=ctx.nz, gz=gz, sism_col=scol, imloc_pad=im,
+            imsrc_pad=p_new, tile_rows=tr, interpret=interpret)
+        return (p_new, pp_new, pprn, prn, imn)
+
+    carry = (zero, zero, zero, zero, zero)
+    carry = seed_step(carry, snap1_pad, inj[0])
+    carry = seed_step(carry, snap0_pad, inj[1])
+
+    def bwd_pass(carry, inj_k, k):
+        p, pp, pr, ppr, im = carry
+        # (k, nx) trace rows -> lanes [0, k) of the (R, 128) K5 operand
+        sism = jnp.zeros((R, 128), jnp.float32).at[
+            row0 + ctx.nxb:row0 + ctx.nxb + ctx.nx, 0:k].set(inj_k.T)
+        return fd_kstep_gpu_bwd_padded(
+            p, pp, pr, ppr, v2m_pad, mask_pad, sism, im, col0 + gz,
+            ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze,
+            ctx.nzb, ctx.nz, ctx.nxb, ctx.nx, k, tr, interpret=interpret)
+
+    nb = nt - 2
+    npb, tailb = nb // K, nb % K
+    carry, _ = jax.lax.scan(
+        lambda c, rows: (bwd_pass(c, rows, K), None), carry,
+        inj[2:2 + npb * K].reshape(npb, K, ctx.nx))
+    if tailb:
+        carry = bwd_pass(carry, inj[2 + npb * K:], tailb)
+    im = carry[4]
     return jax.lax.slice(im, (row0 + ctx.nxb, col0 + ctx.nzb),
                          (row0 + ctx.nxb + ctx.nx,
                           col0 + ctx.nzb + ctx.nz))

@@ -279,3 +279,65 @@ class TestStreamingKernels:
              lambda p, pp, v2, m: fd_step_padded(
                  p, pp, v2, m, cx, cz, 8, nxe, nze, 1e-6,
                  lap_impl="mxu"), p, p, p, mask)
+
+    @pytest.mark.parametrize("lap_impl", [None, "mxu"])
+    def test_fd_kstep_padded(self, tpu_sharding, rng_mod, lap_impl):
+        """The temporal-blocking modeling kernel (K=4 fused steps per HBM
+        pass) compiles for a real v5e target, exact and MXU z-taps."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            import fd_kstep_padded
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nxe, nze = 300, 260
+        tr = 32
+        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        mask = jnp.ones((R, W), jnp.float32)
+        wav = jnp.asarray(rng_mod.standard_normal(4), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p, pp, v2m, m, pm, w: fd_kstep_padded(
+                 p, pp, v2m, m, pm, w, 20, cx, cz, 8, nxe, nze, 4, tr,
+                 lap_impl=lap_impl), p, p, p, mask, p, wav)
+
+    @pytest.mark.parametrize("lap_impl", [None, "mxu"])
+    def test_fd_kstep_gpu_fwd_padded(self, tpu_sharding, rng_mod, lap_impl):
+        """The temporally-blocked fd_forward kernel (taper-first GPU-suite
+        flavor) compiles for a real v5e target."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            import fd_kstep_gpu_fwd_padded
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nxe, nze = 300, 260
+        tr = 32
+        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        mask = jnp.ones((R, W), jnp.float32)
+        wav = jnp.asarray(rng_mod.standard_normal(4), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p, pp, v2m, m, pm, w: fd_kstep_gpu_fwd_padded(
+                 p, pp, v2m, m, pm, w, cx, cz, 8, nxe, nze, 4, tr,
+                 lap_impl=lap_impl), p, p, p, mask, p, wav)
+
+    @pytest.mark.parametrize("lap_impl", [None, "mxu"])
+    def test_fd_kstep_gpu_bwd_padded(self, tpu_sharding, rng_mod, lap_impl):
+        """The temporally-blocked fd_back kernel (dual-field: untapered
+        source reconstruction + tapered receiver + in-kernel K5/K6)
+        compiles for a real v5e target."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            import fd_kstep_gpu_bwd_padded
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nxe, nze = 300, 260
+        tr = 32
+        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        mask = jnp.ones((R, W), jnp.float32)
+        sism = jnp.asarray(rng_mod.standard_normal((R, 128)), jnp.float32)
+        _aot(tpu_sharding,
+             lambda ps, pps, pr, ppr, v2m, m, s, im: fd_kstep_gpu_bwd_padded(
+                 ps, pps, pr, ppr, v2m, m, s, im, 20, cx, cz, 8,
+                 nxe, nze, 16, 228, 16, 268, 4, tr, lap_impl=lap_impl),
+             p, p, p, p, p, mask, sism, p)

@@ -211,6 +211,37 @@ def test_rtm_snapshot_tiled_matches_lax_path():
     assert np.abs(got - ref).max() < 1e-5 * scale
 
 
+@pytest.mark.parametrize("block_k,tile_rows", [
+    (2, 16),    # nt=10: fwd 5 passes, bwd (nt-2)=8 -> 4 passes
+    (3, 16),    # fwd 3 passes + tail 1; bwd 2 passes + tail 2
+    (4, 24),    # K*h=16 halo on odd-size tiles
+])
+def test_kstep_rtm_snapshot_matches_lax_path(block_k, tile_rows):
+    """Temporally-blocked two-snapshot RTM (fd_kstep_gpu_fwd/bwd_padded:
+    K fused taper-first steps per HBM pass, in-kernel K5 injection and
+    K6 image accumulation) matches the lax rtm_shot_snapshot to float
+    rounding — same bar as the per-step tier."""
+    from parallel_finite_difference_computation_tpu.solver import (
+        rtm_shot_snapshot, rtm_shot_snapshot_tiled)
+    ctx = _ctx(nx=26, nz=34, nt=10)
+    rng = np.random.default_rng(9)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    dobs = rng.standard_normal((ctx.nx, ctx.nt)).astype(np.float32)
+    sx, sz, gz = ctx.nxb + 9, ctx.nzb + 2, ctx.nzb + 1
+    ref = np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2), wav,
+                                       jnp.asarray(dobs), sx, sz, gz))
+    got = np.asarray(rtm_shot_snapshot_tiled(ctx, jnp.asarray(v2), wav,
+                                             jnp.asarray(dobs), sx, sz, gz,
+                                             tile_rows=tile_rows,
+                                             interpret=True,
+                                             block_k=block_k))
+    scale = max(1.0, np.abs(ref).max())
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5 * scale
+
+
 def test_rtm_full_tiled_matches_lax_path():
     """Full-wavefield rtm_main flavor through the streaming kernels ==
     the lax rtm_shot_full (stored swf/rwf, flat-read + nzb-offset

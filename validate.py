@@ -478,12 +478,20 @@ def config9_pluto_scale():
                                                jnp.asarray(data[0]),
                                                g.sx[0], g.sz, g.gz))
     r_rtm = rel_rms(img_t, img)
+    # ... and the temporally-blocked variant (K=4 fused fd_forward/fd_back
+    # steps per HBM pass — the tier run_rtm_gpu now routes to)
+    img_k = np.asarray(rtm_shot_snapshot_tiled(ctx, vel2, wav,
+                                               jnp.asarray(data[0]),
+                                               g.sx[0], g.sz, g.gz,
+                                               tile_rows=256, block_k=4))
+    r_rtm_k = rel_rms(img_k, img)
     ok = (np.isfinite(data).all() and np.abs(data).max() > 0
           and np.isfinite(img).all() and np.abs(img).max() > 0
-          and r_tier < GATE and r_rtm < GATE)
+          and r_tier < GATE and r_rtm < GATE and r_rtm_k < GATE)
     record("9. pluto-scale synthetic (6960x1201, nt=400)",
            "PASS" if ok else "FAIL",
-           f"mod auto-vs-lax {r_tier:.2e}, rtm tiled-vs-lax {r_rtm:.2e}",
+           f"mod auto-vs-lax {r_tier:.2e}, rtm tiled-vs-lax {r_rtm:.2e}, "
+           f"kstep4 {r_rtm_k:.2e}",
            f"mod {t_mod:.1f}s, 2-snap rtm {t_rtm:.1f}s incl compile")
 
 
