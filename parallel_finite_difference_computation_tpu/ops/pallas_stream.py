@@ -39,7 +39,7 @@ from .pallas_stencil import (padded_layout, to_padded, from_padded,
 
 __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
            "fd_kstep_padded", "fd_kstep_gpu_fwd_padded",
-           "fd_kstep_gpu_bwd_padded",
+           "fd_kstep_gpu_bwd_padded", "fd_kstep_rec_padded",
            "padded_layout", "to_padded", "from_padded"]
 
 
@@ -829,3 +829,135 @@ def fd_kstep_gpu_bwd_padded(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad,
         interpret=interpret,
     )(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad, mask_pad, sism_pad,
       im_pad, colm_packed, *extra)
+
+
+def _kstep_rec_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
+                      column_inj,
+                      p_hbm, pp_hbm, v2m_hbm, mask_hbm, inj_hbm, amp_ref,
+                      *rest):
+    """K fused CPU-flavor steps recording the tapered time-t field as K
+    full frames — the wavefield-recording variant of :func:`_kstep_kernel`
+    (``rtm_main``'s memory-heavy design point, ``rtm_main.cpp:177-181``).
+
+    Injection modes (static): ``column_inj=False`` adds ``amp[k] * inj``
+    (the pre-placed pre-tapered source patch, ``amp`` the wavelet SMEM
+    block — forward modeling); ``column_inj=True`` adds
+    ``inj[:, k] * amp`` (``inj`` a narrow (R, 128) slab whose lane k
+    carries the step-k pre-masked receiver rows, ``amp`` the
+    receiver-lane one-hot — ``rtm_main.cpp:196-220``'s time-reversed
+    trace injection)."""
+    from .stencil import lap_in_kernel
+    from .pallas_stencil import _lap_z_mxu_full
+    if use_mxu:
+        sf_ref, sm_ref, sl_ref = rest[:3]
+        rest = rest[3:]
+
+        def lap_fn(a):
+            return (_lap_z_mxu_full(a, a.shape[0], W, sf_ref, sm_ref,
+                                    sl_ref)
+                    + _lap_x_slab(a, order, cx))
+    else:
+        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
+    (pn_out, ppn_out, frames_out,
+     p_s, pp_s, v2m_s, mask_s, inj_s, sems) = rest
+    hbms = (p_hbm, pp_hbm, v2m_hbm, mask_hbm, inj_hbm)
+    scrs = (p_s, pp_s, v2m_s, mask_s, inj_s)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, 0, 0, tx, hk, n_tx, R)
+
+    @pl.when(i + 1 < n_tx)
+    def _():
+        _kslab_dma_start(hbms, scrs, sems, i + 1, jax.lax.rem(i + 1, 2),
+                         tx, hk, n_tx, R)
+
+    cur = jax.lax.rem(i, 2)
+    _kslab_dma_wait(hbms, scrs, sems, cur, tx, hk)
+
+    x = p_s[cur]
+    y = pp_s[cur]
+    v2m = v2m_s[cur]
+    m = mask_s[cur]
+    inj = inj_s[cur]
+    for k in range(K):
+        lap = lap_fn(x)
+        if column_inj:
+            inj_term = inj[:, k:k + 1] * amp_ref[0:1, :]
+        else:
+            inj_term = amp_ref[k, 0] * inj
+        ynew = (2.0 * x - y + v2m * lap) * m + inj_term
+        xnew = x * m
+        frames_out[k, :, :] = jax.lax.slice(xnew, (hk, 0), (hk + tx, W))
+        x, y = ynew, xnew
+    pn_out[:, :] = jax.lax.slice(x, (hk, 0), (hk + tx, W))
+    ppn_out[:, :] = jax.lax.slice(y, (hk, 0), (hk + tx, W))
+
+
+def fd_kstep_rec_padded(p_pad, pp_pad, v2m_pad, mask_pad, inj_pad, amp,
+                        coefs_x, coefs_z, order: int, nxe: int, nze: int,
+                        block_k: int, column_inj: bool = False,
+                        tile_rows: int = 256, interpret: bool = False,
+                        lap_impl=None):
+    """``block_k`` fused CPU-flavor steps per HBM pass, recording K full
+    tapered time-t frames — temporal blocking for the wavefield-recording
+    drivers (:func:`...solver.forward_modeling_tiled` with
+    ``record="wavefield"`` and :func:`...solver.backward_recorded_tiled`).
+
+    ``column_inj=False``: ``inj_pad`` is the pre-placed pre-tapered
+    source patch (R, W), ``amp`` the (K,) wavelet chunk.
+    ``column_inj=True``: ``inj_pad`` is (R, 128) with lane k carrying the
+    step-k receiver rows premultiplied by the taper column at the
+    receiver lane, ``amp`` the receiver lane index (``col0 + gz``, may
+    be traced). Returns ``(p', pp', frames)`` with frames (K, R, W)."""
+    h = order // 2
+    K = int(block_k)
+    hk = -(-(K * h) // 8) * 8
+    tx = tile_rows
+    _check_tile_rows(tx, hk)
+    R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
+    assert p_pad.shape == (R, W), (p_pad.shape, (R, W))
+    n_tx = R // tx
+
+    cz = [float(v) for v in coefs_z]
+    cx = [float(v) for v in coefs_x]
+    if column_inj:
+        lane = jnp.arange(W, dtype=jnp.int32)
+        amp_in = jnp.broadcast_to(
+            (lane == amp).astype(jnp.float32)[None, :], (8, W))
+        amp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        inj_scratch = pltpu.VMEM((2, tx + 2 * hk, 128), jnp.float32)
+    else:
+        amp_in = jnp.reshape(amp.astype(jnp.float32), (K, 1))
+        amp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        inj_scratch = pltpu.VMEM((2, tx + 2 * hk, W), jnp.float32)
+
+    from .pallas_fd import vmem_params, _use_mxu_lap
+    use_mxu = _use_mxu_lap(lap_impl)
+    extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
+    S = tx + 2 * hk
+    cp = vmem_params(((10 + 24) * S + (4 + 2 * K) * tx) * W * 4)
+    kern = functools.partial(_kstep_rec_kernel, order, hk, K, tx, n_tx, R,
+                             W, cz, cx, use_mxu, column_inj)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    slab = lambda: pltpu.VMEM((2, S, W), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tx,),
+        in_specs=[any_spec] * 5 + [amp_spec]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
+        out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tx, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((K, tx, W), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32),
+                   jax.ShapeDtypeStruct((R, W), jnp.float32),
+                   jax.ShapeDtypeStruct((K, R, W), jnp.float32)],
+        scratch_shapes=[slab(), slab(), slab(), slab(), inj_scratch,
+                        pltpu.SemaphoreType.DMA((5, 2))],
+        compiler_params=cp,
+        interpret=interpret,
+    )(p_pad, pp_pad, v2m_pad, mask_pad, inj_pad, amp_in, *extra)

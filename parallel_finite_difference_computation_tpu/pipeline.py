@@ -304,9 +304,13 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
                              next_shot_first=nx1)
 
     if use_tiled:
+        # temporally blocked (K=4 fused steps per HBM pass; the frames
+        # the correlation needs are written from VMEM each pass)
         from .solver import rtm_shot_full_tiled
+        tr_tile = 256 if ctx.nxe >= 2048 else 64
         shot = lambda sx, d, nx1: rtm_shot_full_tiled(
-            ctx, vel2, wav, d, sx, g.sz, g.gz, next_shot_first=nx1)
+            ctx, vel2, wav, d, sx, g.sz, g.gz, next_shot_first=nx1,
+            tile_rows=tr_tile, block_k=min(4, ctx.nt))
     else:
         shot = shot_lax
     if mesh is not None:

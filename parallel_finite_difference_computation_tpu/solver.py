@@ -197,12 +197,12 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
     177-181``) — the single-chip beyond-VMEM tier of the full-wavefield
     ``rtm_main`` flavor (see :func:`rtm_shot_full_tiled`).
 
-    ``block_k > 1`` switches to the temporal-blocking kernel
-    (:func:`..ops.pallas_stream.fd_kstep_padded`): K fused steps per HBM
-    pass — source injection, taper and trace recording move in-kernel —
-    breaking the per-step tier's DMA-bound ceiling (trace/none recording
-    only; wavefield recording needs every step's full field in HBM and
-    keeps the per-step kernel).
+    ``block_k > 1`` switches to the temporal-blocking kernels
+    (:func:`..ops.pallas_stream.fd_kstep_padded` /
+    :func:`..ops.pallas_stream.fd_kstep_rec_padded`): K fused steps per
+    HBM pass — source injection, taper and recording move in-kernel —
+    breaking the per-step tier's DMA-bound ceiling (wavefield recording
+    writes K full tapered frames per pass).
 
     Returns ``(p, pp, recorded)`` shaped exactly like
     :func:`forward_modeling`.
@@ -211,7 +211,7 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
                                     to_padded, from_padded)
     if record not in ("trace", "wavefield", "none"):
         raise ValueError(f"unknown record mode {record!r}")
-    if block_k > 1 and record != "wavefield":
+    if block_k > 1:
         return _forward_modeling_kblocked(ctx, v2, wavelet, sx, sz, gz,
                                           source, taper, record, tile_rows,
                                           interpret, block_k)
@@ -267,9 +267,12 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
     ``nt % K``. Injection/taper/recording semantics match the per-step
     driver exactly (update -> inject -> taper order of ``fd-code.cu``;
     the recorded trace is the tapered time-t field's receiver column,
-    extracted in-kernel by an exact one-hot reduce)."""
-    from .ops.pallas_stream import (fd_kstep_padded, padded_layout,
-                                    to_padded, from_padded)
+    extracted in-kernel by an exact one-hot reduce). With
+    ``record="wavefield"`` each pass writes its K tapered time-t frames
+    from VMEM (:func:`..ops.pallas_stream.fd_kstep_rec_padded`,
+    ``rtm_main.cpp:177-181``)."""
+    from .ops.pallas_stream import (fd_kstep_padded, fd_kstep_rec_padded,
+                                    padded_layout, to_padded, from_padded)
     from .ops.stencil import lap_interior_mask
     order = ctx.order
     tr = tile_rows
@@ -294,6 +297,15 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
     npass, tail = nt // K, nt % K
 
     def one_pass(p, pp, wchunk, k):
+        if record == "wavefield":
+            pn, ppn, frames = fd_kstep_rec_padded(
+                p, pp, v2m_pad, mask_pad, patchm_pad, wchunk,
+                ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k,
+                column_inj=False, tile_rows=tr, interpret=interpret)
+            out = jax.lax.slice(
+                frames, (0, row0 + ctx.nxb, col0 + ctx.nzb),
+                (k, row0 + ctx.nxb + ctx.nx, col0 + ctx.nzb + ctx.nz))
+            return pn, ppn, out
         pn, ppn, rec = fd_kstep_padded(
             p, pp, v2m_pad, mask_pad, patchm_pad, wchunk, col0 + gz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
@@ -312,12 +324,20 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
     zero = jnp.zeros((R, W), jnp.float32)
     (p, pp), recs = jax.lax.scan(step, (zero, zero),
                                  wavelet[:npass * K].reshape(npass, K))
-    # (npass, nx, K) -> (npass, K, nx) -> (npass*K, nx)
-    rec = jnp.transpose(recs, (0, 2, 1)).reshape(npass * K, ctx.nx)
-    if tail:
-        p, pp, tr_chunk = one_pass(p, pp, wavelet[npass * K:], tail)
-        rec = jnp.concatenate([rec, jnp.transpose(tr_chunk)], axis=0)
-    out = rec if record == "trace" else None
+    if record == "wavefield":
+        # (npass, K, nx, nz) -> (npass*K, nx, nz)
+        rec = recs.reshape(npass * K, ctx.nx, ctx.nz)
+        if tail:
+            p, pp, fr = one_pass(p, pp, wavelet[npass * K:], tail)
+            rec = jnp.concatenate([rec, fr], axis=0)
+        out = rec
+    else:
+        # (npass, nx, K) -> (npass, K, nx) -> (npass*K, nx)
+        rec = jnp.transpose(recs, (0, 2, 1)).reshape(npass * K, ctx.nx)
+        if tail:
+            p, pp, tr_chunk = one_pass(p, pp, wavelet[npass * K:], tail)
+            rec = jnp.concatenate([rec, jnp.transpose(tr_chunk)], axis=0)
+        out = rec if record == "trace" else None
     return (from_padded(p, ctx.nxe, ctx.nze, order, tr),
             from_padded(pp, ctx.nxe, ctx.nze, order, tr), out)
 
@@ -558,16 +578,22 @@ def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
 
 
 @partial(jax.jit, static_argnames=("ctx", "x_off_quirk", "tile_rows",
-                                   "interpret"))
+                                   "interpret", "block_k"))
 def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
                             x_off_quirk: bool = True, next_shot_first=0.0,
-                            tile_rows: int = 64, interpret: bool = False):
+                            tile_rows: int = 64, interpret: bool = False,
+                            block_k: int = 1):
     """:func:`backward_recorded` for grids beyond VMEM: each step is one
     fused HBM-streaming pass (:func:`..ops.pallas_stream.fd_step_padded`,
     top-strip mask) on the padded layout; the K5 receiver-row injection
     (incl. the flat-read and nzb-offset quirks) and the interior wavefield
     recording stay in XLA. Returns ``(p, pp, rwf)`` shaped like
-    :func:`backward_recorded`."""
+    :func:`backward_recorded`.
+
+    ``block_k > 1``: K fused steps per HBM pass
+    (:func:`..ops.pallas_stream.fd_kstep_rec_padded` in column-injection
+    mode — the K time-reversed trace rows pre-masked and packed into
+    lanes [0, K); the K tapered frames written from VMEM)."""
     from .ops.pallas_stream import (fd_step_padded, padded_layout,
                                     to_padded, from_padded)
     order = ctx.order
@@ -576,6 +602,9 @@ def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
     mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tile_rows)
     x_off = ctx.nzb if x_off_quirk else ctx.nxb
     inj = _injection_rows(ctx, dobs, next_shot_first)
+    if block_k > 1:
+        return _backward_recorded_kblocked(ctx, v2, inj, gz, x_off,
+                                           tile_rows, interpret, block_k)
 
     def step(carry, inj_t):
         p, pp = carry
@@ -601,11 +630,67 @@ def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
             from_padded(pp, ctx.nxe, ctx.nze, order, tile_rows), rwf)
 
 
+def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
+                                tile_rows: int, interpret: bool,
+                                block_k: int):
+    """Temporal-blocking body of :func:`backward_recorded_tiled`: the K5
+    operand packs K time-reversed trace rows (quirks already applied by
+    :func:`_injection_rows`) into lanes [0, K), premultiplied by the
+    taper column at the receiver lane (the per-step driver's masked
+    injection, ``rtm_main.cpp:196-220``)."""
+    from .ops.pallas_stream import (fd_kstep_rec_padded, padded_layout,
+                                    to_padded, from_padded)
+    from .ops.stencil import lap_interior_mask
+    order = ctx.order
+    tr = tile_rows
+    K = int(block_k)
+    R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tr)
+    v2m_pad = to_padded(
+        v2 * ctx.dt2 * jnp.asarray(lap_interior_mask(ctx.nxe, ctx.nze,
+                                                     order)), order, tr)
+    mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tr)
+    cgz = col0 + gz
+    mask_col = jax.lax.dynamic_slice(mask_pad, (0, cgz), (R, 1))
+    nt = ctx.nt
+    npass, tail = nt // K, nt % K
+
+    def one_pass(p, pp, inj_k, k):
+        # (k, nx) trace rows -> lanes [0, k), pre-masked by the taper
+        # column at the receiver lane
+        sismm = jnp.zeros((R, 128), jnp.float32).at[
+            row0 + x_off:row0 + x_off + ctx.nx, 0:k].set(
+                jnp.transpose(inj_k)) * mask_col
+        pn, ppn, frames = fd_kstep_rec_padded(
+            p, pp, v2m_pad, mask_pad, sismm, cgz,
+            ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k,
+            column_inj=True, tile_rows=tr, interpret=interpret)
+        out = jax.lax.slice(
+            frames, (0, row0 + ctx.nxb, col0 + ctx.nzb),
+            (k, row0 + ctx.nxb + ctx.nx, col0 + ctx.nzb + ctx.nz))
+        return pn, ppn, out
+
+    def step(carry, inj_k):
+        p, pp = carry
+        pn, ppn, out = one_pass(p, pp, inj_k, K)
+        return (pn, ppn), out
+
+    zero = jnp.zeros((R, W), jnp.float32)
+    (p, pp), recs = jax.lax.scan(step, (zero, zero),
+                                 inj[:npass * K].reshape(npass, K, ctx.nx))
+    rwf = recs.reshape(npass * K, ctx.nx, ctx.nz)
+    if tail:
+        p, pp, fr = one_pass(p, pp, inj[npass * K:], tail)
+        rwf = jnp.concatenate([rwf, fr], axis=0)
+    return (from_padded(p, ctx.nxe, ctx.nze, order, tr),
+            from_padded(pp, ctx.nxe, ctx.nze, order, tr), rwf)
+
+
 @partial(jax.jit, static_argnames=("ctx", "x_off_quirk", "tile_rows",
-                                   "interpret"))
+                                   "interpret", "block_k"))
 def rtm_shot_full_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                         x_off_quirk: bool = True, next_shot_first=0.0,
-                        tile_rows: int = 64, interpret: bool = False):
+                        tile_rows: int = 64, interpret: bool = False,
+                        block_k: int = 1):
     """:func:`rtm_shot_full` (the full-wavefield ``rtm_main`` flavor,
     ``rtm_main.cpp:158-247``) for grids beyond VMEM: both propagations
     stream through the fused padded-layout kernel while the two (nt, nx,
@@ -616,12 +701,14 @@ def rtm_shot_full_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                                        source="point", taper="top",
                                        record="wavefield",
                                        tile_rows=tile_rows,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       block_k=block_k)
     _, _, rwf = backward_recorded_tiled(ctx, v2, dobs, gz,
                                         x_off_quirk=x_off_quirk,
                                         next_shot_first=next_shot_first,
                                         tile_rows=tile_rows,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        block_k=block_k)
     return jnp.sum(swf[::-1] * rwf, axis=0)
 
 

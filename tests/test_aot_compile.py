@@ -341,3 +341,29 @@ class TestStreamingKernels:
                  ps, pps, pr, ppr, v2m, m, s, im, 20, cx, cz, 8,
                  nxe, nze, 16, 228, 16, 268, 4, tr, lap_impl=lap_impl),
              p, p, p, p, p, mask, sism, p)
+
+    @pytest.mark.parametrize("column_inj", [False, True])
+    def test_fd_kstep_rec_padded(self, tpu_sharding, rng_mod, column_inj):
+        """The temporally-blocked wavefield-recording kernel (K tapered
+        frames per HBM pass; patch and column injection modes) compiles
+        for a real v5e target."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            import fd_kstep_rec_padded
+        from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
+            import padded_layout
+        cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
+        nxe, nze = 300, 260
+        tr = 32
+        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
+        mask = jnp.ones((R, W), jnp.float32)
+        if column_inj:
+            inj = jnp.asarray(rng_mod.standard_normal((R, 128)), jnp.float32)
+            amp = 20
+        else:
+            inj = p
+            amp = jnp.asarray(rng_mod.standard_normal(4), jnp.float32)
+        _aot(tpu_sharding,
+             lambda p, pp, v2m, m, i: fd_kstep_rec_padded(
+                 p, pp, v2m, m, i, amp, cx, cz, 8, nxe, nze, 4,
+                 column_inj=column_inj, tile_rows=tr), p, p, p, mask, inj)

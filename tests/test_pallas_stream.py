@@ -270,6 +270,66 @@ def test_rtm_full_tiled_matches_lax_path():
         assert np.abs(got - ref).max() < 1e-5 * scale
 
 
+@pytest.mark.parametrize("block_k,tile_rows", [
+    (2, 16),    # nt=10 -> 5 passes each way
+    (3, 16),    # tail passes (10 = 3*3 + 1) on both propagations
+    (4, 24),    # K*h=16 halo on odd-size tiles
+])
+def test_kstep_rtm_full_matches_lax_path(block_k, tile_rows):
+    """Temporally-blocked full-wavefield rtm_main flavor
+    (fd_kstep_rec_padded: K fused steps + K tapered frames per HBM pass,
+    patch injection forward / pre-masked K5 lane-pack backward) matches
+    the lax rtm_shot_full to float rounding, both quirk settings."""
+    from parallel_finite_difference_computation_tpu.solver import (
+        rtm_shot_full, rtm_shot_full_tiled)
+    ctx = _ctx(nx=26, nz=34, nt=10, nxb=6, nzb=5)  # nxb != nzb: quirk live
+    rng = np.random.default_rng(11)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    dobs = rng.standard_normal((ctx.nx, ctx.nt)).astype(np.float32)
+    sx, sz, gz = ctx.nxb + 9, ctx.nzb + 2, ctx.nzb + 1
+    for quirk in (True, False):
+        ref = np.asarray(rtm_shot_full(ctx, jnp.asarray(v2), wav,
+                                       jnp.asarray(dobs), sx, sz, gz,
+                                       x_off_quirk=quirk,
+                                       next_shot_first=0.25))
+        got = np.asarray(rtm_shot_full_tiled(ctx, jnp.asarray(v2), wav,
+                                             jnp.asarray(dobs), sx, sz, gz,
+                                             x_off_quirk=quirk,
+                                             next_shot_first=0.25,
+                                             tile_rows=tile_rows,
+                                             interpret=True,
+                                             block_k=block_k))
+        scale = max(1.0, np.abs(ref).max())
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-5 * scale
+
+
+def test_kstep_wavefield_recording_matches_lax():
+    """forward_modeling_tiled(record='wavefield', block_k>1): the K
+    tapered time-t frames written per pass equal the per-step recording
+    and the lax wavefield."""
+    ctx = _ctx()
+    rng = np.random.default_rng(12)
+    v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+          ).astype(np.float32) ** 2
+    wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+    sx, sz, gz = ctx.nxb + 10, ctx.nzb + 3, ctx.nzb + 1
+    _, _, ref = forward_modeling(ctx, jnp.asarray(v2), wav, sx, sz, gz,
+                                 source="point", taper="top",
+                                 record="wavefield")
+    p2, pp2, got = forward_modeling_tiled(ctx, jnp.asarray(v2), wav,
+                                          sx, sz, gz, source="point",
+                                          taper="top", record="wavefield",
+                                          tile_rows=16, interpret=True,
+                                          block_k=3)
+    ref, got = np.asarray(ref), np.asarray(got)
+    scale = max(1.0, np.abs(ref).max())
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5 * scale
+
+
 def test_gpu_kernels_keep_pads_zero():
     """Regression: tile 0's frame-shifted slot must not leak interior
     values into the slack rows through unmasked outputs (the values would
