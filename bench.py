@@ -533,7 +533,8 @@ def bench_pluto_modeling(nt: int = 400, block_k: int = 1,
     return t * 1e3, ctx.nxe * ctx.nze / t / 1e9
 
 
-def bench_pluto_rtm(nt: int = 400, block_k: int = 1, tile_rows: int = 256):
+def bench_pluto_rtm(nt: int = 400, block_k: int = 1, tile_rows: int = 256,
+                    lap_impl=None):
     """Two-snapshot RTM at the Pluto dims — the reference's flagship
     domain-division use case (``dpct_gpu_rtm_domain_division/build/
     spluto``) on one chip via the beyond-VMEM streaming tier
@@ -557,7 +558,8 @@ def bench_pluto_rtm(nt: int = 400, block_k: int = 1, tile_rows: int = 256):
     dobs = rng.standard_normal((6960, nt)).astype(np.float32)
 
     fn = lambda w, v, d: rtm_shot_snapshot_tiled(
-        ctx, v, w, d, 2740, 40, 40, tile_rows=tile_rows, block_k=block_k)
+        ctx, v, w, d, 2740, 40, 40, tile_rows=tile_rows, block_k=block_k,
+        lap_impl=lap_impl)
     make = lambda i: (jnp.asarray(wav * (1 + 1e-6 * i)),
                       jnp.asarray(v2 * (1 + 1e-7 * abs(i))),
                       jnp.asarray(dobs * (1 + 1e-6 * i)))
@@ -853,12 +855,24 @@ def _main_body():
             details["rtm_pluto_scale_error"] = str(e)[:200]
         try:
             # ... and its temporally-blocked kernels (K=4 fused
-            # fd_forward/fd_back steps per HBM pass)
+            # fd_forward/fd_back steps per HBM pass; 2.0x the per-step
+            # tier)
             ms, gc = bench_pluto_rtm(block_k=4)
             details["rtm_pluto_scale_kstep4_ms_per_step"] = ms
             details["rtm_pluto_scale_kstep4_gcell_upd_per_s"] = gc
         except Exception as e:
             details["rtm_pluto_scale_kstep4_error"] = str(e)[:200]
+        try:
+            # ... and the MXU z-tap variant (the dual-field backward is
+            # compute-heavy enough that the MXU buys another 1.47x on top
+            # of blocking: measured 35.7 vs 24.3 vs 12.1 per-step; K=8
+            # and tile_rows=512 both measure worse). Values gated at
+            # pluto scale in validate config 9.
+            ms, gc = bench_pluto_rtm(block_k=4, lap_impl="mxu")
+            details["rtm_pluto_scale_kstep4_mxu_ms_per_step"] = ms
+            details["rtm_pluto_scale_kstep4_mxu_gcell_upd_per_s"] = gc
+        except Exception as e:
+            details["rtm_pluto_scale_kstep4_mxu_error"] = str(e)[:200]
 
     marm = bench_marmousi()
     if marm:
@@ -891,7 +905,8 @@ def _main_body():
             with open("BENCH_DETAILS.json") as f:
                 prev = json.load(f)
             for k, v in prev.items():
-                if k.startswith("rtm_marmousi_pallas"):
+                if k.startswith(("rtm_marmousi_pallas",
+                                 "rtm_marmousi_mxu6")):
                     details[k] = v
         except Exception:
             pass

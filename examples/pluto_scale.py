@@ -9,10 +9,12 @@ the same spatial dimensions with a synthetic layered model:
     python examples/pluto_scale.py [--nt 400]
 
 On TPU, ``backend=auto`` resolves to the fused HBM-streaming kernels
-(``ops/pallas_stream``) — one fused pass per time step over row-tiles of
-the fixed-point padded layout, ~3.7x the XLA scan path at this size (the
-whole-shot VMEM kernels that serve the shipped reference configs cannot
-hold a 7040x1281 grid). On CPU it falls back to the lax path.
+(``ops/pallas_stream``), temporally blocked — K=4 fused steps per HBM
+pass over row-tiles of the fixed-point padded layout (injection, taper
+and recording in-kernel), ~4.3x the XLA scan path at this size for
+modeling and 2x the per-step streaming tier for the two-snapshot RTM
+(the whole-shot VMEM kernels that serve the shipped reference configs
+cannot hold a 7040x1281 grid). On CPU it falls back to the lax path.
 """
 
 import argparse

@@ -248,7 +248,9 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
 def _tiled_rtm_wins(p: Params) -> bool:
     """auto-tier choice for ``run_rtm_cpu``: the lax whole-grid fusion wins
     on small grids; beyond ~1.5 MCell the fused HBM-streaming kernels win
-    (measured 3.7x at pluto scale) and auto routes there on TPU."""
+    (per-step measured 3.7x the lax path at pluto scale; the K=4
+    temporally-blocked kernels that route now add ~2x over per-step) and
+    auto routes there on TPU."""
     return (jax.devices()[0].platform == "tpu"
             and p.nxe * p.nze > 1_500_000)
 

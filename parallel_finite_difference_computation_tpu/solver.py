@@ -179,11 +179,13 @@ def forward_modeling(ctx: FDContext, v2, wavelet, sx, sz, gz,
 
 
 @partial(jax.jit, static_argnames=("ctx", "source", "taper", "record",
-                                   "tile_rows", "interpret", "block_k"))
+                                   "tile_rows", "interpret", "block_k",
+                                   "lap_impl"))
 def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
                            source: str = "gaussian", taper: str = "all",
                            record: str = "trace", tile_rows: int = 64,
-                           interpret: bool = False, block_k: int = 1):
+                           interpret: bool = False, block_k: int = 1,
+                           lap_impl=None):
     """:func:`forward_modeling` for grids beyond VMEM: the per-step
     Laplacian+leapfrog+taper is ONE fused HBM-streaming Pallas
     pass (:func:`..ops.pallas_stream.fd_step_padded`) on the fixed-point
@@ -214,7 +216,7 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
     if block_k > 1:
         return _forward_modeling_kblocked(ctx, v2, wavelet, sx, sz, gz,
                                           source, taper, record, tile_rows,
-                                          interpret, block_k)
+                                          interpret, block_k, lap_impl)
     order = ctx.order
     R, W, row0, col0 = padded_layout(ctx.nxe, ctx.nze, order, tile_rows)
     v2_pad = to_padded(v2, order, tile_rows)
@@ -232,7 +234,7 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
         pn, ppn = fd_step_padded(p, pp, v2_pad, mask_pad,
                                  ctx.coefs_x, ctx.coefs_z, order,
                                  ctx.nxe, ctx.nze, ctx.dt2, tile_rows,
-                                 interpret=interpret)
+                                 interpret=interpret, lap_impl=lap_impl)
         # masked injection into the *new* field (reference order is
         # update -> inject -> taper; the mask factors in per cell)
         px, pz = row0 + sx - r, col0 + sz - r
@@ -260,7 +262,7 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
 def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
                                source: str, taper: str, record: str,
                                tile_rows: int, interpret: bool,
-                               block_k: int):
+                               block_k: int, lap_impl=None):
     """Temporal-blocking body of :func:`forward_modeling_tiled`
     (``block_k > 1``): scan over nt//K K-step HBM passes
     (:func:`..ops.pallas_stream.fd_kstep_padded`), plus one tail pass for
@@ -301,7 +303,8 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
             pn, ppn, frames = fd_kstep_rec_padded(
                 p, pp, v2m_pad, mask_pad, patchm_pad, wchunk,
                 ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k,
-                column_inj=False, tile_rows=tr, interpret=interpret)
+                column_inj=False, tile_rows=tr, interpret=interpret,
+                lap_impl=lap_impl)
             out = jax.lax.slice(
                 frames, (0, row0 + ctx.nxb, col0 + ctx.nzb),
                 (k, row0 + ctx.nxb + ctx.nx, col0 + ctx.nzb + ctx.nz))
@@ -309,7 +312,7 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
         pn, ppn, rec = fd_kstep_padded(
             p, pp, v2m_pad, mask_pad, patchm_pad, wchunk, col0 + gz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
-            interpret=interpret)
+            interpret=interpret, lap_impl=lap_impl)
         # rec lane k = step-k receiver column over rows; valid rows are
         # the interior content rows
         tr_chunk = jax.lax.slice(rec, (row0 + ctx.nxb, 0),
@@ -343,10 +346,10 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
 
 
 @partial(jax.jit, static_argnames=("ctx", "tile_rows", "interpret",
-                                   "block_k"))
+                                   "block_k", "lap_impl"))
 def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                             tile_rows: int = 64, interpret: bool = False,
-                            block_k: int = 1):
+                            block_k: int = 1, lap_impl=None):
     """:func:`rtm_shot_snapshot` for grids beyond VMEM: every full-grid
     pass of the GPU-suite shot body streams through the fused padded-layout
     kernels (:mod:`..ops.pallas_stream`) — forward taper-first steps, the
@@ -361,7 +364,8 @@ def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     in-kernel — breaking the per-step tier's DMA-bound ceiling."""
     if block_k > 1:
         return _rtm_snapshot_kblocked(ctx, v2, wavelet, dobs, sx, sz, gz,
-                                      tile_rows, interpret, block_k)
+                                      tile_rows, interpret, block_k,
+                                      lap_impl)
     from .ops.pallas_stream import (fd_update_padded, fd_step_gpu_padded,
                                     padded_layout, to_padded, from_padded)
     order = ctx.order
@@ -377,7 +381,8 @@ def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                                   ctx.nxe, ctx.nze, ctx.dt2,
                                   nxb=ctx.nxb, nzb=ctx.nzb, nx=ctx.nx,
                                   nz=ctx.nz, gz=gz, tile_rows=tr,
-                                  interpret=interpret, **kw)
+                                  interpret=interpret, lap_impl=lap_impl,
+                                  **kw)
 
     # forward: swap -> taper(top) -> update -> point source (fd_forward)
     def fwd(carry, amp):
@@ -400,7 +405,8 @@ def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
             it >= 2,
             lambda: fd_update_padded(p, pp, v2_pad, ctx.coefs_x,
                                      ctx.coefs_z, order, ctx.nxe, ctx.nze,
-                                     ctx.dt2, tr, interpret=interpret),
+                                     ctx.dt2, tr, interpret=interpret,
+                                     lap_impl=lap_impl),
             lambda: jnp.where(it == 0, snap1_pad, snap0_pad))
         p_new, pp_new = ppn, p
         scol = jnp.zeros((R, 128), jnp.float32).at[
@@ -418,7 +424,8 @@ def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
 
 
 def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
-                           tile_rows: int, interpret: bool, block_k: int):
+                           tile_rows: int, interpret: bool, block_k: int,
+                           lap_impl=None):
     """Temporal-blocking body of :func:`rtm_shot_snapshot_tiled`
     (``block_k > 1``): the forward scans nt//K K-step passes
     (:func:`..ops.pallas_stream.fd_kstep_gpu_fwd_padded`) plus a tail;
@@ -451,7 +458,7 @@ def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
         return fd_kstep_gpu_fwd_padded(
             p, pp, v2m_pad, mask_pad, pointm_pad, wchunk,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
-            interpret=interpret)
+            interpret=interpret, lap_impl=lap_impl)
 
     npass, tail = nt // K, nt % K
     (p, pp), _ = jax.lax.scan(
@@ -474,7 +481,8 @@ def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
             pr, ppr, v2_pad, mask_pad, ctx.coefs_x, ctx.coefs_z, order,
             ctx.nxe, ctx.nze, ctx.dt2, nxb=ctx.nxb, nzb=ctx.nzb,
             nx=ctx.nx, nz=ctx.nz, gz=gz, sism_col=scol, imloc_pad=im,
-            imsrc_pad=p_new, tile_rows=tr, interpret=interpret)
+            imsrc_pad=p_new, tile_rows=tr, interpret=interpret,
+            lap_impl=lap_impl)
         return (p_new, pp_new, pprn, prn, imn)
 
     carry = (zero, zero, zero, zero, zero)
@@ -489,7 +497,8 @@ def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
         return fd_kstep_gpu_bwd_padded(
             p, pp, pr, ppr, v2m_pad, mask_pad, sism, im, col0 + gz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze,
-            ctx.nzb, ctx.nz, ctx.nxb, ctx.nx, k, tr, interpret=interpret)
+            ctx.nzb, ctx.nz, ctx.nxb, ctx.nx, k, tr, interpret=interpret,
+            lap_impl=lap_impl)
 
     nb = nt - 2
     npb, tailb = nb // K, nb % K
@@ -578,11 +587,11 @@ def rtm_shot_full(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
 
 
 @partial(jax.jit, static_argnames=("ctx", "x_off_quirk", "tile_rows",
-                                   "interpret", "block_k"))
+                                   "interpret", "block_k", "lap_impl"))
 def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
                             x_off_quirk: bool = True, next_shot_first=0.0,
                             tile_rows: int = 64, interpret: bool = False,
-                            block_k: int = 1):
+                            block_k: int = 1, lap_impl=None):
     """:func:`backward_recorded` for grids beyond VMEM: each step is one
     fused HBM-streaming pass (:func:`..ops.pallas_stream.fd_step_padded`,
     top-strip mask) on the padded layout; the K5 receiver-row injection
@@ -604,14 +613,15 @@ def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
     inj = _injection_rows(ctx, dobs, next_shot_first)
     if block_k > 1:
         return _backward_recorded_kblocked(ctx, v2, inj, gz, x_off,
-                                           tile_rows, interpret, block_k)
+                                           tile_rows, interpret, block_k,
+                                           lap_impl)
 
     def step(carry, inj_t):
         p, pp = carry
         pn, ppn = fd_step_padded(p, pp, v2_pad, mask_pad,
                                  ctx.coefs_x, ctx.coefs_z, order,
                                  ctx.nxe, ctx.nze, ctx.dt2, tile_rows,
-                                 interpret=interpret)
+                                 interpret=interpret, lap_impl=lap_impl)
         # masked receiver-row injection (reference order is update ->
         # inject -> taper; the mask factors in per cell)
         r0, c0 = row0 + x_off, col0 + gz
@@ -632,7 +642,7 @@ def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
 
 def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
                                 tile_rows: int, interpret: bool,
-                                block_k: int):
+                                block_k: int, lap_impl=None):
     """Temporal-blocking body of :func:`backward_recorded_tiled`: the K5
     operand packs K time-reversed trace rows (quirks already applied by
     :func:`_injection_rows`) into lanes [0, K), premultiplied by the
@@ -663,7 +673,8 @@ def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
         pn, ppn, frames = fd_kstep_rec_padded(
             p, pp, v2m_pad, mask_pad, sismm, cgz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k,
-            column_inj=True, tile_rows=tr, interpret=interpret)
+            column_inj=True, tile_rows=tr, interpret=interpret,
+            lap_impl=lap_impl)
         out = jax.lax.slice(
             frames, (0, row0 + ctx.nxb, col0 + ctx.nzb),
             (k, row0 + ctx.nxb + ctx.nx, col0 + ctx.nzb + ctx.nz))
@@ -686,11 +697,11 @@ def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
 
 
 @partial(jax.jit, static_argnames=("ctx", "x_off_quirk", "tile_rows",
-                                   "interpret", "block_k"))
+                                   "interpret", "block_k", "lap_impl"))
 def rtm_shot_full_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                         x_off_quirk: bool = True, next_shot_first=0.0,
                         tile_rows: int = 64, interpret: bool = False,
-                        block_k: int = 1):
+                        block_k: int = 1, lap_impl=None):
     """:func:`rtm_shot_full` (the full-wavefield ``rtm_main`` flavor,
     ``rtm_main.cpp:158-247``) for grids beyond VMEM: both propagations
     stream through the fused padded-layout kernel while the two (nt, nx,
@@ -702,13 +713,14 @@ def rtm_shot_full_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
                                        record="wavefield",
                                        tile_rows=tile_rows,
                                        interpret=interpret,
-                                       block_k=block_k)
+                                       block_k=block_k, lap_impl=lap_impl)
     _, _, rwf = backward_recorded_tiled(ctx, v2, dobs, gz,
                                         x_off_quirk=x_off_quirk,
                                         next_shot_first=next_shot_first,
                                         tile_rows=tile_rows,
                                         interpret=interpret,
-                                        block_k=block_k)
+                                        block_k=block_k,
+                                        lap_impl=lap_impl)
     return jnp.sum(swf[::-1] * rwf, axis=0)
 
 

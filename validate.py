@@ -479,19 +479,32 @@ def config9_pluto_scale():
                                                g.sx[0], g.sz, g.gz))
     r_rtm = rel_rms(img_t, img)
     # ... and the temporally-blocked variant (K=4 fused fd_forward/fd_back
-    # steps per HBM pass — the tier run_rtm_gpu now routes to)
+    # steps per HBM pass — the tier run_rtm_gpu now routes to, gated at
+    # the 1e-4 parity bar), plus its 3-pass MXU z-tap fast path (35.7 vs
+    # 12.1 per-step GCell-upd/s) — measured 4.9e-4 here: the documented
+    # bf16_3x drift class (validate 6d marmousi), so it is gated at the
+    # 5e-3 fast-path envelope and is NOT routed by default (mxu6 measures
+    # accurate but slower than exact on this DMA-heavy tier: 22.1 vs
+    # 24.3 GCell-upd/s — recorded negative, scripts/exp_kstep_rtm.py)
     img_k = np.asarray(rtm_shot_snapshot_tiled(ctx, vel2, wav,
                                                jnp.asarray(data[0]),
                                                g.sx[0], g.sz, g.gz,
                                                tile_rows=256, block_k=4))
     r_rtm_k = rel_rms(img_k, img)
+    img_km = np.asarray(rtm_shot_snapshot_tiled(
+        ctx, vel2, wav, jnp.asarray(data[0]), g.sx[0], g.sz, g.gz,
+        tile_rows=256, block_k=4, lap_impl="mxu"))
+    r_rtm_km = rel_rms(img_km, img)
+    MXU_ENVELOPE = 5e-3
     ok = (np.isfinite(data).all() and np.abs(data).max() > 0
           and np.isfinite(img).all() and np.abs(img).max() > 0
-          and r_tier < GATE and r_rtm < GATE and r_rtm_k < GATE)
+          and r_tier < GATE and r_rtm < GATE and r_rtm_k < GATE
+          and r_rtm_km < MXU_ENVELOPE)
     record("9. pluto-scale synthetic (6960x1201, nt=400)",
            "PASS" if ok else "FAIL",
            f"mod auto-vs-lax {r_tier:.2e}, rtm tiled-vs-lax {r_rtm:.2e}, "
-           f"kstep4 {r_rtm_k:.2e}",
+           f"kstep4 {r_rtm_k:.2e}, kstep4-mxu {r_rtm_km:.2e} "
+           "(3-pass envelope 5e-3, not routed)",
            f"mod {t_mod:.1f}s, 2-snap rtm {t_rtm:.1f}s incl compile")
 
 
