@@ -1,5 +1,7 @@
 from .mesh import make_mesh, shot_sharding
-from .shots import distribute_shots, pad_shots, make_sharded_rtm_pallas
+from .shots import (distribute_shots, pad_shots, make_sharded_rtm_pallas,
+                    make_sharded_modeling_pallas,
+                    make_sharded_modeling_tiled, make_sharded_rtm_tiled)
 from .domain import (
     halo_exchange, sharded_laplacian, make_sharded_forward_modeling,
     make_sharded_rtm_snapshot, make_sharded_rtm_full,

@@ -17,7 +17,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["distribute_shots", "pad_shots", "make_sharded_rtm_pallas"]
+__all__ = ["distribute_shots", "pad_shots", "make_sharded_rtm_pallas",
+           "make_sharded_modeling_pallas", "make_sharded_modeling_tiled",
+           "make_sharded_rtm_tiled"]
 
 
 def pad_shots(arr: np.ndarray, n_devices: int):
@@ -57,6 +59,88 @@ def make_sharded_rtm_pallas(ctx, mesh: Mesh, sz: int, gz: int,
         return jax.lax.map(
             lambda a: rtm_snapshot_pallas(ctx, a[0], wavelet, a[1], a[2],
                                           sz, gz, interpret=interpret),
+            (v2, dobs, sxs))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shot"), P("shot"), P("shot"), P()),
+        out_specs=P("shot"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_modeling_pallas(ctx, mesh: Mesh, sz: int, gz: int,
+                                 interpret: bool = False):
+    """Shot-sharded whole-shot Pallas forward modeling: each device runs
+    the VMEM-resident fused kernel
+    (:func:`..ops.pallas_fd.forward_modeling_pallas`) over its local
+    shots. Returns ``fn(v2, sxs, wavelet) -> (ns, nt, nx) traces`` with
+    ``v2`` replicated (the CPU pipeline shares one clamp-extended model
+    across shots, ``mod_main.cpp:118-126``) and ``sxs`` sharded."""
+    from ..ops.pallas_fd import forward_modeling_pallas
+
+    def body(v2, sxs, wavelet):
+        return jax.lax.map(
+            lambda sx: forward_modeling_pallas(
+                ctx, v2, wavelet, sx, sz, gz, source="gaussian",
+                taper="all", interpret=interpret)[2],
+            sxs)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("shot"), P()),
+        out_specs=P("shot"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_modeling_tiled(ctx, mesh: Mesh, sz: int, gz: int,
+                                tile_rows: int = 256, block_k: int = 4,
+                                interpret: bool = False):
+    """Shot-sharded beyond-VMEM forward modeling: each device streams its
+    local shots through the temporally-blocked HBM kernels
+    (:func:`...solver.forward_modeling_tiled`, K fused steps per pass) —
+    the multi-chip tier for production grids (e.g. pluto 1201x6960,
+    ns=30) that no chip can hold in VMEM, with zero inter-device
+    communication (shots are independent)."""
+    from ..solver import forward_modeling_tiled
+
+    def body(v2, sxs, wavelet):
+        return jax.lax.map(
+            lambda sx: forward_modeling_tiled(
+                ctx, v2, wavelet, sx, sz, gz, source="gaussian",
+                tile_rows=tile_rows, block_k=block_k,
+                interpret=interpret)[2],
+            sxs)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("shot"), P()),
+        out_specs=P("shot"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_rtm_tiled(ctx, mesh: Mesh, sz: int, gz: int,
+                           tile_rows: int = 256, block_k: int = 4,
+                           interpret: bool = False):
+    """Shot-sharded beyond-VMEM two-snapshot RTM: each device runs its
+    local shots through the temporally-blocked streaming kernels
+    (:func:`...solver.rtm_shot_snapshot_tiled` — 2x the per-step tier at
+    pluto scale). Same signature as :func:`make_sharded_rtm_pallas`
+    (per-shot ``v2`` — the GPU suite's random boundaries vary by shot,
+    ``fd-code.cu:442-494``)."""
+    from ..solver import rtm_shot_snapshot_tiled
+
+    def body(v2, dobs, sxs, wavelet):
+        return jax.lax.map(
+            lambda a: rtm_shot_snapshot_tiled(
+                ctx, a[0], wavelet, a[1], a[2], sz, gz,
+                tile_rows=tile_rows, block_k=block_k,
+                interpret=interpret),
             (v2, dobs, sxs))
 
     sharded = jax.shard_map(

@@ -189,15 +189,26 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                                     record="trace")[2])
     ns = p.ns
     if mesh is not None:
-        # shot-only mesh: shard the per-shot inputs over the shot axis (the
-        # sequential pallas lax.map cannot split across devices; the
-        # partitionable vmap path is used instead)
+        # shot-only mesh: shard the per-shot inputs over the shot axis and
+        # run each device's local shots through shard_map'd kernel tiers
+        # (a bare sequential pallas lax.map cannot split across devices);
+        # the vmap lax path stays the partitionable final fallback
         from .parallel.shots import distribute_shots, pad_shots
         n_dev = mesh.shape.get("shot", 1)
         sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
         sx_pad[ns:] = sx_pad[0]
         (sxs,) = distribute_shots(mesh, sx_pad)
         run_pallas = run_tiled = None
+        if _use_pallas(backend):
+            from .parallel.shots import (make_sharded_modeling_pallas,
+                                         make_sharded_modeling_tiled)
+            _sh_ws = make_sharded_modeling_pallas(ctx, mesh, g.sz, g.gz)
+            _sh_t = make_sharded_modeling_tiled(
+                ctx, mesh, g.sz, g.gz,
+                tile_rows=256 if ctx.nxe >= 2048 else 64,
+                block_k=min(4, ctx.nt))
+            run_pallas = lambda sxs: _sh_ws(vel2, sxs, wav)
+            run_tiled = lambda sxs: _sh_t(vel2, sxs, wav)
     seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend,
                               run_pallas_split=run_tiled)[:ns]
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
@@ -417,10 +428,17 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     run_split = None
     if _use_pallas(backend) and mesh is not None:
         # shot-sharded whole-shot kernels: each device runs its local shots
-        # (parallel/shots.py:make_sharded_rtm_pallas)
-        from .parallel.shots import make_sharded_rtm_pallas
+        # (parallel/shots.py:make_sharded_rtm_pallas); beyond-VMEM grids
+        # fall through to the sharded temporally-blocked streaming tier
+        from .parallel.shots import (make_sharded_rtm_pallas,
+                                     make_sharded_rtm_tiled)
         _sharded = make_sharded_rtm_pallas(ctx, mesh, g.sz, g.gz)
         run_pallas = lambda v2, sxs, d: _sharded(v2, d, sxs, wav)
+        _sharded_t = make_sharded_rtm_tiled(
+            ctx, mesh, g.sz, g.gz,
+            tile_rows=256 if ctx.nxe >= 2048 else 64,
+            block_k=min(4, ctx.nt))
+        run_split = [lambda v2, sxs, d: _sharded_t(v2, d, sxs, wav)]
     if _use_pallas(backend) and mesh is None:
         # lax.map batching: one Mosaic kernel compile for any shot count.
         # With a mesh, the partitionable vmap path is used instead (a

@@ -174,6 +174,59 @@ class TestShotShardedPallas:
             for i in range(ns)])
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
+    def test_rtm_tiled_matches_unsharded(self, rng, mesh4):
+        """shard_map(shot) around the temporally-blocked streaming RTM
+        (K=4 fused steps per HBM pass, interpret mode on CPU) equals the
+        unsharded lax path — the multi-chip tier for beyond-VMEM grids."""
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_sharded_rtm_tiled)
+        ctx = _ctx(nt=12)
+        ns, sz, gz = 4, 6, 5
+        v2 = (1500.0 + 500.0 * rng.random((ns, ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
+        sxs = np.asarray([10, 12, 14, 16], np.int32)
+        fn = make_sharded_rtm_tiled(ctx, mesh4, sz, gz, tile_rows=16,
+                                    block_k=4, interpret=True)
+        got = np.asarray(fn(v2, dobs, sxs, wav))
+        ref = np.stack([
+            np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2[i]), wav,
+                                         jnp.asarray(dobs[i]),
+                                         int(sxs[i]), sz, gz))
+            for i in range(ns)])
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_modeling_tiers_match_unsharded(self, rng, mesh4):
+        """Shot-sharded whole-shot and temporally-blocked streaming
+        forward modeling (shared clamp-extended model, interpret mode)
+        equal the unsharded lax path."""
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_sharded_modeling_pallas, make_sharded_modeling_tiled)
+        from parallel_finite_difference_computation_tpu.solver import (
+            forward_modeling)
+        ctx = _ctx(nt=12)
+        sz, gz = 6, 5
+        v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        sxs = np.asarray([10, 12, 14, 16], np.int32)
+        ref = np.stack([
+            np.asarray(forward_modeling(ctx, jnp.asarray(v2), wav,
+                                        int(sx), sz, gz,
+                                        source="gaussian", taper="all",
+                                        record="trace")[2])
+            for sx in sxs])
+        fn_ws = make_sharded_modeling_pallas(ctx, mesh4, sz, gz,
+                                             interpret=True)
+        got_ws = np.asarray(fn_ws(v2, sxs, wav))
+        np.testing.assert_allclose(got_ws, ref, rtol=1e-4, atol=1e-5)
+        fn_t = make_sharded_modeling_tiled(ctx, mesh4, sz, gz,
+                                           tile_rows=16, block_k=4,
+                                           interpret=True)
+        got_t = np.asarray(fn_t(v2, sxs, wav))
+        np.testing.assert_allclose(got_t, ref, rtol=1e-4, atol=1e-5)
+
 
 class TestShardedOtherOrders:
     @pytest.mark.parametrize("order", [2, 4])
