@@ -95,7 +95,30 @@ def main():
     print(f"blocked-Pallas domain path: {time.time() - t0:.2f}s, "
           f"max rel err {err_blk:.2e}")
     assert err_blk < 1e-4
-    print("OK — halo exchange and shot sharding agree with single-device")
+
+    # the shot-sharded temporally-blocked streaming tier — the multi-chip
+    # path for grids beyond any chip's VMEM (each device streams its local
+    # shots through K-step HBM-pass kernels, no inter-device communication)
+    from parallel_finite_difference_computation_tpu.parallel import (
+        make_sharded_rtm_tiled, make_mesh as _mk)
+    mesh_s = _mk(n_shot=n_dev, n_x=1)
+    ns_s = n_dev
+    v2_s = np.broadcast_to(v2, (ns_s,) + v2.shape).copy()
+    sxs_s = np.asarray([nxb + 4 + i for i in range(ns_s)], np.int32)
+    dobs_s = rng.standard_normal((ns_s, nx, nt)).astype(np.float32)
+    fn_t = make_sharded_rtm_tiled(ctx, mesh_s, sz, gz, tile_rows=16,
+                                  block_k=4, interpret=not on_tpu)
+    t0 = time.time()
+    im_t = np.asarray(fn_t(v2_s, dobs_s, sxs_s, wav))
+    ref0 = np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2_s[0]), wav,
+                                        jnp.asarray(dobs_s[0]),
+                                        int(sxs_s[0]), sz, gz))
+    err_t = np.abs(im_t[0] - ref0).max() / (np.abs(ref0).max() or 1.0)
+    print(f"shot-sharded streaming tier ({ns_s} shots): "
+          f"{time.time() - t0:.2f}s, max rel err {err_t:.2e}")
+    assert err_t < 1e-4
+    print("OK — halo exchange, shot sharding, and the sharded streaming "
+          "tier agree with single-device")
 
 
 if __name__ == "__main__":
