@@ -7,6 +7,11 @@ from .domain import (
     make_sharded_rtm_snapshot, make_sharded_rtm_full,
     embed_source_fields, embed_dobs, embed_injection_rows,
 )
+from .domain2d import (
+    halo_exchange_axis, sharded_laplacian_2d,
+    make_sharded_forward_modeling_2d, make_sharded_rtm_snapshot_2d,
+    make_sharded_rtm_full_2d,
+)
 from .domain_pallas import (
     halo_exchange_lanes, make_sharded_rtm_snapshot_pallas,
     make_sharded_forward_modeling_pallas,

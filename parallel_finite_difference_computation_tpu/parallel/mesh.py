@@ -18,14 +18,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "shot_sharding"]
 
 
-def make_mesh(n_shot: int = 1, n_x: int = 1, devices=None) -> Mesh:
-    """Build a (shot, x) mesh. ``n_shot * n_x`` must equal the device count
-    (defaults to all devices arranged to fit)."""
+def make_mesh(n_shot: int = 1, n_x: int = 1, n_z: int = 1,
+              devices=None) -> Mesh:
+    """Build a (shot, x) mesh — or, with ``n_z > 1``, a (shot, x, z) mesh
+    for the 2D grid decomposition (:mod:`.domain2d`). ``n_shot * n_x *
+    n_z`` must fit in the device count (defaults to all devices)."""
     if devices is None:
         devices = jax.devices()
-    n = n_shot * n_x
+    n = n_shot * n_x * n_z
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    if n_z > 1:
+        dev = np.asarray(devices[:n]).reshape(n_shot, n_x, n_z)
+        return Mesh(dev, ("shot", "x", "z"))
     dev = np.asarray(devices[:n]).reshape(n_shot, n_x)
     return Mesh(dev, ("shot", "x"))
 
