@@ -150,7 +150,8 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
 
     With a (shot, x) ``mesh``, shots shard over ``shot`` and the grid
     decomposes over ``x`` using the blocked halo-exchange Pallas kernels
-    (lax formulation as fallback)."""
+    (lax formulation as fallback); a (shot, x, z) mesh decomposes both
+    grid axes (:mod:`.parallel.domain2d`)."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     vel2 = jnp.asarray(prepare_velocity_cpu(p, vp))
@@ -160,7 +161,7 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                                               truncated=True))
     sxs = jnp.asarray(g.sx)
 
-    if mesh is not None and mesh.shape.get("x", 1) > 1:
+    if mesh is not None and _mesh_decomposes_grid(mesh):
         return _run_modeling_domain(p, ctx, g, wav, vel2, mesh, backend,
                                     out_datfile)
 
@@ -217,15 +218,23 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
     return data
 
 
+def _mesh_decomposes_grid(mesh) -> bool:
+    """True when the mesh has a grid axis (x and/or z) of size > 1 — the
+    domain-decomposed pipelines apply."""
+    return (mesh.shape.get("x", 1) > 1 or mesh.shape.get("z", 1) > 1)
+
+
 def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
                          out_datfile):
-    """x-domain-decomposed forward modeling over a (shot, x) mesh."""
+    """Domain-decomposed forward modeling over a (shot, x[, z]) mesh."""
     from .parallel.domain import make_sharded_forward_modeling
+    from .parallel.domain2d import make_sharded_forward_modeling_2d
     from .parallel.domain_pallas import make_sharded_forward_modeling_pallas
     from .parallel.domain import _embed_sources
     from .parallel.shots import pad_shots
     n_shot = mesh.shape.get("shot", 1)
-    n_x = mesh.shape["x"]
+    n_x = mesh.shape.get("x", 1)
+    n_z = mesh.shape.get("z", 1)
     sx_pad, ns = pad_shots(np.asarray(g.sx, np.int32), n_shot)
     # padded dummy shots reuse a real source position (their output is
     # discarded; sx=0 would put the Gaussian patch out of bounds)
@@ -234,15 +243,22 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
                             (len(sx_pad),) + np.asarray(vel2).shape).copy()
 
     run_pallas = None
-    if _use_pallas(backend):
+    if _use_pallas(backend) and n_z == 1:
+        # the blocked Pallas kernels decompose x only; z-sharded meshes
+        # run the 2D lax formulation below
         h = ctx.order // 2
         block_k = max(1, min(8, (ctx.nxe // n_x) // h, ctx.nt))
         fn_pl = make_sharded_forward_modeling_pallas(
             ctx, mesh, g.sz, g.gz, source="gaussian", taper="all",
             block_k=block_k)
         run_pallas = lambda: fn_pl(v_pad, sx_pad, wav)
-    fn_lax = make_sharded_forward_modeling(ctx, mesh, g.gz,
-                                           source="gaussian", taper="all")
+    if n_z > 1:
+        fn_lax = make_sharded_forward_modeling_2d(
+            ctx, mesh, g.gz, source="gaussian", taper="all")
+    else:
+        fn_lax = make_sharded_forward_modeling(ctx, mesh, g.gz,
+                                               source="gaussian",
+                                               taper="all")
     srcf = np.stack([_embed_sources(ctx, int(s), g.sz, gaussian=True)
                      for s in sx_pad])
     run_lax = lambda: fn_lax(v_pad, srcf, wav)
@@ -292,7 +308,7 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
                                               truncated=True))
 
-    if mesh is not None and mesh.shape.get("x", 1) > 1:
+    if mesh is not None and _mesh_decomposes_grid(mesh):
         img, imlocs = _run_rtm_cpu_domain(p, ctx, g, wav, vel2, dobs, mesh)
         if outdir:
             io.write_image(os.path.join(outdir, "dir.image"), img)
@@ -371,10 +387,14 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
 
 
 def _run_rtm_cpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh):
-    """x-domain-decomposed full-wavefield RTM over a (shot, x) mesh
-    (:func:`..parallel.domain.make_sharded_rtm_full`)."""
+    """Domain-decomposed full-wavefield RTM over a (shot, x[, z]) mesh
+    (:func:`..parallel.domain.make_sharded_rtm_full`, or the 2D
+    :func:`..parallel.domain2d.make_sharded_rtm_full_2d` when the mesh
+    also shards z — the 2*nt stored wavefields then split across all
+    grid devices)."""
     from .parallel.domain import (make_sharded_rtm_full, embed_source_fields,
                                   embed_injection_rows)
+    from .parallel.domain2d import make_sharded_rtm_full_2d
     from .parallel.shots import pad_shots
     n_shot = mesh.shape.get("shot", 1)
     sx_pad, ns = pad_shots(np.asarray(g.sx, np.int32), n_shot)
@@ -388,7 +408,10 @@ def _run_rtm_cpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh):
                                gaussian=False)
     v_rep = np.broadcast_to(np.asarray(vel2),
                             (len(sx_pad),) + np.asarray(vel2).shape).copy()
-    fn = make_sharded_rtm_full(ctx, mesh, g.gz)
+    if mesh.shape.get("z", 1) > 1:
+        fn = make_sharded_rtm_full_2d(ctx, mesh, g.gz)
+    else:
+        fn = make_sharded_rtm_full(ctx, mesh, g.gz)
     im_ext = np.asarray(fn(v_rep, srcf, wav, inj_ext))
     imlocs = im_ext[:ns, ctx.nxb:ctx.nxe - ctx.nxb,
                     ctx.nzb:ctx.nze - ctx.nzb]
@@ -416,9 +439,9 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
 
-    if mesh is not None and mesh.shape.get("x", 1) > 1:
-        # grid decomposed over the mesh's x axis (plus shot sharding):
-        # the domain division the reference only named
+    if mesh is not None and _mesh_decomposes_grid(mesh):
+        # grid decomposed over the mesh's x (and optionally z) axis (plus
+        # shot sharding): the domain division the reference only named
         img, imlocs = _run_rtm_gpu_domain(p, ctx, g, wav, vel2, dobs, mesh,
                                           backend)
         _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num)
@@ -510,24 +533,31 @@ def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend):
     with the per-step lax formulation as fallback."""
     from .parallel.domain import (make_sharded_rtm_snapshot,
                                   embed_source_fields, embed_dobs)
+    from .parallel.domain2d import make_sharded_rtm_snapshot_2d
     from .parallel.domain_pallas import make_sharded_rtm_snapshot_pallas
     from .parallel.shots import pad_shots
     n_shot = mesh.shape.get("shot", 1)
-    n_x = mesh.shape["x"]
+    n_x = mesh.shape.get("x", 1)
+    n_z = mesh.shape.get("z", 1)
     v_pad, ns = pad_shots(np.asarray(vel2), n_shot)
     d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_shot)
     sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_shot)
     d_ext = embed_dobs(ctx, d_pad)
 
     run_pallas = None
-    if _use_pallas(backend):
+    if _use_pallas(backend) and n_z == 1:
+        # the blocked Pallas kernels decompose x only; z-sharded meshes
+        # run the 2D lax formulation below
         h = ctx.order // 2
         block_k = min(8, (ctx.nxe // n_x) // h, ctx.nt // 2)
         if block_k >= 2:  # K<2 cannot seed both snapshots; lax handles it
             fn_pl = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
                                                      block_k=block_k)
             run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
-    fn_lax = make_sharded_rtm_snapshot(ctx, mesh, g.gz)
+    if n_z > 1:
+        fn_lax = make_sharded_rtm_snapshot_2d(ctx, mesh, g.gz)
+    else:
+        fn_lax = make_sharded_rtm_snapshot(ctx, mesh, g.gz)
     srcf = embed_source_fields(ctx, [int(s) for s in sx_pad], g.sz,
                                gaussian=False)
     run_lax = lambda: fn_lax(v_pad, srcf, wav, d_ext)

@@ -176,3 +176,43 @@ class TestRtmFull2D:
             for i in range(ns)])
         scale = np.abs(ref).max() or 1.0
         np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+
+class TestPipelines2DMesh:
+    def _params(self, fac=0.01):
+        import parallel_finite_difference_computation_tpu as pfdc
+        return pfdc.Params(nz=24, nx=24, nt=40, dz=10.0, dx=10.0, dt=0.001,
+                           fpeak=25.0, ns=3, sz=0, fsx=2, ds=8, gz=0,
+                           nxb=8, nzb=8, fac=fac, order=8)
+
+    def test_run_modeling_and_rtm_cpu_with_2d_mesh(self, mesh222, tmp_path):
+        """run_modeling / run_rtm_cpu with a (shot, x, z) mesh route through
+        the 2D decomposition and match the single-device run."""
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.models import (
+            layered_model)
+        p = self._params()
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+        data0 = pipeline.run_modeling(p, vp=vp, backend="lax")
+        data1 = pipeline.run_modeling(p, vp=vp, backend="lax", mesh=mesh222)
+        scale = np.abs(data0).max() or 1.0
+        np.testing.assert_allclose(data1 / scale, data0 / scale, atol=1e-5)
+        img0, im0 = pipeline.run_rtm_cpu(p, vp=vp, dobs=data0)
+        img1, im1 = pipeline.run_rtm_cpu(p, vp=vp, dobs=data0, mesh=mesh222)
+        scale = np.abs(im0).max() or 1.0
+        np.testing.assert_allclose(im1 / scale, im0 / scale, atol=1e-5)
+        np.testing.assert_allclose(img1 / scale, img0 / scale, atol=1e-5)
+
+    def test_run_rtm_gpu_with_2d_mesh(self, mesh222):
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.models import (
+            layered_model)
+        p = self._params(fac=0.7)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+        rng = np.random.default_rng(3)
+        dobs = rng.standard_normal((p.ns, p.nx, p.nt)).astype(np.float32)
+        img0, im0 = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs, seed=5,
+                                         backend="lax")
+        img1, im1 = pipeline.run_rtm_gpu(p, vp=vp, dobs=dobs, seed=5,
+                                         backend="lax", mesh=mesh222)
+        np.testing.assert_allclose(im1, im0, rtol=2e-4, atol=1e-4)
