@@ -35,15 +35,17 @@ def _config_arg(arg: str) -> str:
 
 
 def _mesh_from_args(args):
-    """Build a (shot, x) mesh from --shards-shot/--shards-x (None if 1x1).
-    Multi-chip runs shard shots and/or decompose the grid over x; on a
-    single chip a 1x1 mesh still exercises the sharded program."""
+    """Build a (shot, x[, z]) mesh from --shards-shot/--shards-x/--shards-z
+    (None if 1x1x1). Multi-chip runs shard shots and/or decompose the grid
+    over x (and z for the 2D decomposition); on a single chip a 1x1 mesh
+    still exercises the sharded program."""
     n_shot = getattr(args, "shards_shot", 1)
     n_x = getattr(args, "shards_x", 1)
-    if n_shot * n_x <= 1:
+    n_z = getattr(args, "shards_z", 1)
+    if n_shot * n_x * n_z <= 1:
         return None
     from .parallel import make_mesh
-    return make_mesh(n_shot=n_shot, n_x=n_x)
+    return make_mesh(n_shot=n_shot, n_x=n_x, n_z=n_z)
 
 
 def _echo(p):
@@ -156,6 +158,10 @@ def main(argv=None):
                            dest="shards_x",
                            help="mesh size along the grid x axis "
                                 "(domain decomposition)")
+            s.add_argument("--shards-z", type=int, default=1,
+                           dest="shards_z",
+                           help="mesh size along the grid z axis "
+                                "(2D domain decomposition)")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("psnr")

@@ -126,3 +126,37 @@ class TestCLI:
         assert r.returncode == 0, r.stderr
         data = np.fromfile(out, np.float32)
         assert data.size == 20 * 12
+
+    def test_mod_command_2d_mesh(self, tmp_path, rng):
+        """--shards-x/--shards-z route through the 2D decomposition and
+        match the single-device CLI run (8 virtual CPU devices)."""
+        vp = np.full((24, 24), 2000.0, np.float32)
+        vpf = str(tmp_path / "vp.bin")
+        vp.tofile(vpf)
+        cfg = tmp_path / "input.dat"
+        cfg.write_text(
+            f"tmpdir={tmp_path}\nvpfile={vpf}\ndatfile=dobs.bin\n"
+            "nz=24\nnx=24\nnt=12\ndz=10\ndx=10\ndt=0.001\nfpeak=25.\n"
+            "ns=2\nsz=0\nfsx=2\nds=8\ngz=0\nnxb=8\nnzb=8\nfac=0.01\norder=8\n")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+
+        def run(*extra):
+            return subprocess.run(
+                [sys.executable, "-m",
+                 "parallel_finite_difference_computation_tpu.cli", "mod",
+                 f"par={cfg}", "--backend", "lax", *extra],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+        out0 = str(tmp_path / "d0.bin")
+        out1 = str(tmp_path / "d1.bin")
+        r0 = run("--output", out0)
+        assert r0.returncode == 0, r0.stderr
+        r1 = run("--output", out1, "--shards-shot", "2", "--shards-x", "2",
+                 "--shards-z", "2")
+        assert r1.returncode == 0, r1.stderr
+        a = np.fromfile(out0, np.float32)
+        b = np.fromfile(out1, np.float32)
+        scale = np.abs(a).max() or 1.0
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-6)
