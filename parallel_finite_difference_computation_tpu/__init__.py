@@ -15,5 +15,6 @@ from .solver import (
     rtm_shot_snapshot, rtm_shot_full,
 )
 from . import numerics, io
+from .survey import run_survey
 
 __version__ = "0.1.0"

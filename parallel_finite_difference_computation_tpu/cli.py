@@ -82,8 +82,15 @@ def cmd_rtm(args):
     outdir = args.outdir or (p.tmpdir if p.tmpdir and os.path.isdir(p.tmpdir)
                              else ".")
     t0 = time.time()
-    img, imlocs = pipeline.run_rtm_cpu(p, outdir=outdir,
-                                       mesh=_mesh_from_args(args))
+    if args.checkpoint_dir:
+        from . import survey
+        img, imlocs = survey.run_survey(
+            p, args.checkpoint_dir, kind="rtm_cpu", outdir=outdir,
+            chunk_shots=args.chunk_shots, mesh=_mesh_from_args(args),
+            progress=print)
+    else:
+        img, imlocs = pipeline.run_rtm_cpu(p, outdir=outdir,
+                                           mesh=_mesh_from_args(args))
     print(f"Execution Time: {time.time() - t0:.2f} seconds")
     print(f"wrote dir.image / dir.img to {outdir}")
 
@@ -94,10 +101,18 @@ def cmd_rtm_gpu(args):
     outdir = args.outdir or (p.tmpdir if p.tmpdir and os.path.isdir(p.tmpdir)
                              else ".")
     t0 = time.time()
-    img, imlocs = pipeline.run_rtm_gpu(
-        p, seed=args.seed, outdir=outdir,
-        write_image_num=args.image_num, backend=args.backend,
-        mesh=_mesh_from_args(args))
+    if args.checkpoint_dir:
+        from . import survey
+        img, imlocs = survey.run_survey(
+            p, args.checkpoint_dir, kind="rtm_gpu", seed=args.seed,
+            outdir=outdir, chunk_shots=args.chunk_shots,
+            backend=args.backend, mesh=_mesh_from_args(args),
+            write_image_num=args.image_num, progress=print)
+    else:
+        img, imlocs = pipeline.run_rtm_gpu(
+            p, seed=args.seed, outdir=outdir,
+            write_image_num=args.image_num, backend=args.backend,
+            mesh=_mesh_from_args(args))
     print(f"> Exec time = {time.time() - t0:.2f} (s)")
     print(f"wrote dir.image to {outdir}"
           + (" (+ image.num)" if args.image_num else ""))
@@ -150,6 +165,16 @@ def main(argv=None):
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--image-num", action="store_true",
                            dest="image_num")
+        if name in ("rtm", "rtm_gpu"):
+            s.add_argument("--checkpoint-dir", default=None,
+                           dest="checkpoint_dir",
+                           help="chunked checkpoint/resume directory "
+                                "(survey.run_survey): an interrupted run "
+                                "restarted with the same dir skips "
+                                "completed shot chunks")
+            s.add_argument("--chunk-shots", type=int, default=8,
+                           dest="chunk_shots",
+                           help="shots per checkpoint chunk")
         if name != "stencil":
             s.add_argument("--shards-shot", type=int, default=1,
                            dest="shards_shot",

@@ -328,18 +328,27 @@ def make_sharded_rtm_full(ctx: FDContext, mesh: Mesh, gz: int):
 
 
 def embed_injection_rows(ctx: FDContext, dobs: np.ndarray,
-                         x_off_quirk: bool = True) -> np.ndarray:
+                         x_off_quirk: bool = True,
+                         next_first=None) -> np.ndarray:
     """(ns, nx, nt) observed data -> (ns, nt, nxe) receiver-injection rows
     for :func:`make_sharded_rtm_full`: time-reversed with ``rtm_main``'s
     it=0 flat-read (cross-shot) and nzb-offset quirks
-    (see ``solver._injection_rows``)."""
+    (see ``solver._injection_rows``).
+
+    ``next_first`` overrides the per-shot cross-shot it=0 sample (the next
+    shot's first value in the reference's contiguous block) — needed when
+    ``dobs`` is a chunk of a larger survey, so the chunk's last shot still
+    reads the true successor's sample instead of 0."""
     import jax.numpy as _jnp
     from ..solver import _injection_rows
     ns = dobs.shape[0]
     x_off = ctx.nzb if x_off_quirk else ctx.nxb
     out = np.zeros((ns, ctx.nt, ctx.nxe), np.float32)
     for i in range(ns):
-        nxt = dobs[i + 1, 0, 0] if i + 1 < ns else np.float32(0.0)
+        if next_first is not None:
+            nxt = np.float32(next_first[i])
+        else:
+            nxt = dobs[i + 1, 0, 0] if i + 1 < ns else np.float32(0.0)
         rows = np.asarray(_injection_rows(ctx, _jnp.asarray(dobs[i]), nxt))
         out[i, :, x_off:x_off + dobs.shape[1]] = rows
     return out

@@ -88,16 +88,22 @@ def prepare_velocity_cpu(p: Params, vp: np.ndarray) -> np.ndarray:
     return numerics.extendvel_clamp(vel2, p.nx, p.nz, p.nxb, p.nzb)
 
 
-def prepare_velocities_gpu(p: Params, vp: np.ndarray,
-                           seed: int = 0) -> np.ndarray:
+def prepare_velocities_gpu(p: Params, vp: np.ndarray, seed: int = 0,
+                           shot_indices=None) -> np.ndarray:
     """GPU-suite per-shot velocity prep (``fd-code.cu:442-494``): embed vp in
     the extended grid, then per shot either load the pre-extended model from
     ``vel_ext_file`` or generate the random linear-ramp boundary — on device,
     vmapped over shots (:func:`..numerics.extendvel_random_jax`), so
     boundary generation scales with shot count/sharding instead of looping
-    on the host; square last. Returns (ns, nxe, nze) squared velocities."""
+    on the host; square last. Returns (ns, nxe, nze) squared velocities.
+
+    ``shot_indices`` selects a subset of the survey's shots by *global*
+    index (fold_in keys / vel_ext rows stay those of the full survey), so a
+    chunked/resumed run reproduces the uninterrupted run exactly."""
+    idx = (np.arange(p.ns) if shot_indices is None
+           else np.asarray(shot_indices, np.int64))
     if p.vel_ext_flag:
-        vpe = io.read_vel_ext(p.vel_ext_file, p.ns, p.nxe, p.nze)
+        vpe = io.read_vel_ext(p.vel_ext_file, p.ns, p.nxe, p.nze)[idx]
         return (vpe * vpe).astype(np.float32)
     base = np.zeros((p.nxe, p.nze), np.float32)
     base[p.nxb:p.nxb + p.nx, p.nzb:p.nzb + p.nz] = vp
@@ -109,7 +115,7 @@ def prepare_velocities_gpu(p: Params, vp: np.ndarray,
         return ext * ext
 
     keys = jax.vmap(lambda i: jax.random.fold_in(
-        jax.random.key(seed), i))(jnp.arange(p.ns))
+        jax.random.key(seed), i))(jnp.asarray(idx))
     return gen(jnp.asarray(base), keys)
 
 
@@ -285,7 +291,7 @@ def _tiled_rtm_wins(p: Params) -> bool:
 def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
                 outdir: Optional[str] = None, mesh=None,
-                backend: str = "auto"):
+                backend: str = "auto", shot_indices=None):
     """``rtm_main``: migrate all shots with full-wavefield storage.
 
     Returns ``(img, imlocs)`` — the stacked (nx, nz) image and the (ns, nx,
@@ -297,7 +303,13 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     wavefields' memory) across devices. On large grids (beyond the
     whole-grid-fusion sweet spot) ``backend="auto"`` routes each shot
     through the HBM-streaming padded-layout kernels
-    (:func:`..solver.rtm_shot_full_tiled`); "tiled"/"lax" force a tier."""
+    (:func:`..solver.rtm_shot_full_tiled`); "tiled"/"lax" force a tier.
+
+    ``shot_indices`` migrates only the given *global* shot indices (``dobs``
+    stays the full survey's gathers) — each selected shot's cross-shot it=0
+    flat-read sample (``rtm_main.cpp:202``) is taken from its true successor
+    in the full survey, so chunked/resumed runs (:mod:`.survey`) reproduce
+    the uninterrupted run exactly. Returned arrays cover only the subset."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     if dobs is None:
@@ -308,8 +320,23 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
                                               truncated=True))
 
+    # the it=0 flat-read of each shot's last trace crosses into the next
+    # shot's first sample in the reference's contiguous dobs block
+    # (rtm_main.cpp:202); 0 for the last shot (see solver._injection_rows).
+    # Computed over the FULL survey, then subset, so a chunk's last shot
+    # still reads its true successor's sample.
+    idx = (np.arange(p.ns) if shot_indices is None
+           else np.asarray(shot_indices, np.int64))
+    dobs_full = np.asarray(dobs, np.float32)
+    nxt_full = np.concatenate([dobs_full[1:, 0, 0], np.zeros(1, np.float32)])
+    sx_sel = np.asarray(g.sx, np.int32)[idx]
+    dobs_sel = dobs_full[idx]
+    nxt = nxt_full[idx]
+    ns = len(idx)
+
     if mesh is not None and _mesh_decomposes_grid(mesh):
-        img, imlocs = _run_rtm_cpu_domain(p, ctx, g, wav, vel2, dobs, mesh)
+        img, imlocs = _run_rtm_cpu_domain(p, ctx, g, wav, vel2, dobs_sel,
+                                          mesh, sx_sel, nxt)
         if outdir:
             io.write_image(os.path.join(outdir, "dir.image"), img)
             io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
@@ -350,18 +377,13 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     else:
         run = jax.jit(lambda sxs, ds, nx1s: jax.lax.map(
             lambda args: shot(*args), (sxs, ds, nx1s)))
-    # the it=0 flat-read of each shot's last trace crosses into the next
-    # shot's first sample in the reference's contiguous dobs block
-    # (rtm_main.cpp:202); 0 for the last shot (see solver._injection_rows)
-    nxt = np.concatenate([np.asarray(dobs, np.float32)[1:, 0, 0],
-                          np.zeros(1, np.float32)])
-    sx_in, d_in, nxt_in = jnp.asarray(g.sx), jnp.asarray(dobs), jnp.asarray(nxt)
-    ns = p.ns
+    sx_in, d_in, nxt_in = (jnp.asarray(sx_sel), jnp.asarray(dobs_sel),
+                           jnp.asarray(nxt))
     if mesh is not None:
         from .parallel.shots import distribute_shots, pad_shots
         n_dev = mesh.shape.get("shot", 1)
-        sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
-        d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
+        sx_pad, _ = pad_shots(sx_sel, n_dev)
+        d_pad, _ = pad_shots(dobs_sel, n_dev)
         nxt_pad, _ = pad_shots(nxt, n_dev)
         sx_in, d_in, nxt_in = distribute_shots(mesh, sx_pad, d_pad, nxt_pad)
     try:
@@ -386,24 +408,26 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
     return img, imlocs
 
 
-def _run_rtm_cpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh):
+def _run_rtm_cpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, sx, nxt):
     """Domain-decomposed full-wavefield RTM over a (shot, x[, z]) mesh
     (:func:`..parallel.domain.make_sharded_rtm_full`, or the 2D
     :func:`..parallel.domain2d.make_sharded_rtm_full_2d` when the mesh
     also shards z — the 2*nt stored wavefields then split across all
-    grid devices)."""
+    grid devices). ``sx``/``nxt`` are the (possibly subset) source
+    positions and per-shot cross-shot it=0 samples from the caller."""
     from .parallel.domain import (make_sharded_rtm_full, embed_source_fields,
                                   embed_injection_rows)
     from .parallel.domain2d import make_sharded_rtm_full_2d
     from .parallel.shots import pad_shots
     n_shot = mesh.shape.get("shot", 1)
-    sx_pad, ns = pad_shots(np.asarray(g.sx, np.int32), n_shot)
+    sx_pad, ns = pad_shots(np.asarray(sx, np.int32), n_shot)
     sx_pad[ns:] = sx_pad[0]
     d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_shot)
     # zero the padded dummies' data; the genuine cross-shot it=0 samples
-    # are baked in per shot by embed_injection_rows
+    # are threaded per shot (nxt covers chunked subsets correctly)
     d_pad[ns:] = 0.0
-    inj_ext = embed_injection_rows(ctx, d_pad)
+    nxt_pad, _ = pad_shots(np.asarray(nxt, np.float32), n_shot)
+    inj_ext = embed_injection_rows(ctx, d_pad, next_first=nxt_pad)
     srcf = embed_source_fields(ctx, [int(s) for s in sx_pad], g.sz,
                                gaussian=False)
     v_rep = np.broadcast_to(np.asarray(vel2),
@@ -422,28 +446,40 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
                 seed: int = 0, outdir: Optional[str] = None,
                 write_image_num: bool = False, backend: str = "auto",
-                mesh=None):
+                mesh=None, shot_indices=None):
     """``rtm_code``: two-snapshot RTM over all shots with random (or
     file-loaded) boundary velocities.
 
     Returns ``(img, imlocs)``. With ``outdir``, writes ``dir.image`` and
     ``dir.image_lap`` (zeros, faithfully: the reference never fills it,
     ``fd-code.cu:542``), and optionally the ``image.num`` cumulative text
-    dump (``fd-code.cu:522-528``)."""
+    dump (``fd-code.cu:522-528``).
+
+    ``shot_indices`` migrates only the given *global* shot indices (``dobs``
+    stays the full survey's gathers); per-shot boundary-velocity PRNG keys /
+    ``vel_ext_file`` rows stay those of the full survey, so chunked/resumed
+    runs (:mod:`.survey`) reproduce the uninterrupted run exactly. Returned
+    arrays cover only the subset."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     if dobs is None:
         dobs = io.read_shot_gathers(p.datfile, p.ns, p.nx, p.nt)
-    vel2 = jnp.asarray(prepare_velocities_gpu(p, vp, seed=seed))
+    idx = (np.arange(p.ns) if shot_indices is None
+           else np.asarray(shot_indices, np.int64))
+    vel2 = jnp.asarray(prepare_velocities_gpu(p, vp, seed=seed,
+                                              shot_indices=idx))
     ctx = FDContext.from_params(p, exact_taper=True)
     g = Geometry.from_params(p)
     wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak))
+    sx_sel = np.asarray(g.sx, np.int32)[idx]
+    dobs_sel = np.asarray(dobs, np.float32)[idx]
+    ns = len(idx)
 
     if mesh is not None and _mesh_decomposes_grid(mesh):
         # grid decomposed over the mesh's x (and optionally z) axis (plus
         # shot sharding): the domain division the reference only named
-        img, imlocs = _run_rtm_gpu_domain(p, ctx, g, wav, vel2, dobs, mesh,
-                                          backend)
+        img, imlocs = _run_rtm_gpu_domain(p, ctx, g, wav, vel2, dobs_sel,
+                                          mesh, backend, sx_sel)
         _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num)
         return img, imlocs
 
@@ -493,14 +529,13 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
     run_lax = jax.vmap(
         lambda v2, sx, d: rtm_shot_snapshot(ctx, v2, wav, d, sx,
                                             g.sz, g.gz))
-    v_in, sx_in, d_in = vel2, jnp.asarray(g.sx), jnp.asarray(dobs)
-    ns = p.ns
+    v_in, sx_in, d_in = vel2, jnp.asarray(sx_sel), jnp.asarray(dobs_sel)
     if mesh is not None:
         from .parallel.shots import distribute_shots, pad_shots
         n_dev = mesh.shape.get("shot", 1)
         v_pad, _ = pad_shots(np.asarray(vel2), n_dev)
-        sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_dev)
-        d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_dev)
+        sx_pad, _ = pad_shots(sx_sel, n_dev)
+        d_pad, _ = pad_shots(dobs_sel, n_dev)
         v_in, sx_in, d_in = distribute_shots(mesh, v_pad, sx_pad, d_pad)
     imlocs = _run_with_fallback(run_pallas, run_lax,
                                 (v_in, sx_in, d_in), backend,
@@ -525,12 +560,14 @@ def _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num):
                            list(np.cumsum(imlocs, axis=0)))
 
 
-def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend):
+def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend,
+                        sx):
     """x-domain-decomposed two-snapshot RTM over a (shot, x) mesh: every
     device computes an x-slab of the grid, exchanging order/2-wide halos
     over ICI — blocked VMEM-resident Pallas kernels
     (:func:`..parallel.domain_pallas.make_sharded_rtm_snapshot_pallas`)
-    with the per-step lax formulation as fallback."""
+    with the per-step lax formulation as fallback. ``sx`` holds the
+    (possibly subset) source positions from the caller."""
     from .parallel.domain import (make_sharded_rtm_snapshot,
                                   embed_source_fields, embed_dobs)
     from .parallel.domain2d import make_sharded_rtm_snapshot_2d
@@ -541,7 +578,7 @@ def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend):
     n_z = mesh.shape.get("z", 1)
     v_pad, ns = pad_shots(np.asarray(vel2), n_shot)
     d_pad, _ = pad_shots(np.asarray(dobs, np.float32), n_shot)
-    sx_pad, _ = pad_shots(np.asarray(g.sx, np.int32), n_shot)
+    sx_pad, _ = pad_shots(np.asarray(sx, np.int32), n_shot)
     d_ext = embed_dobs(ctx, d_pad)
 
     run_pallas = None
