@@ -40,6 +40,7 @@ from .pallas_stencil import (padded_layout, to_padded, from_padded,
 __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
            "fd_kstep_padded", "fd_kstep_gpu_fwd_padded",
            "fd_kstep_gpu_bwd_padded", "fd_kstep_rec_padded",
+           "mask_ramps", "separable_mask_operands", "injection_window",
            "padded_layout", "to_padded", "from_padded"]
 
 
@@ -412,6 +413,117 @@ def _kslab_dma_wait(hbms, scratches, sems, slot, tx, hk):
                               sc.at[slot], sems.at[j, slot]).wait()
 
 
+def mask_ramps(mask_all_np, mask_top_np, kind: str, nzb: int):
+    """Extract the separable 1D factors of a taper mask, bit-exactly.
+
+    Both reference masks are built from 1D edge ramps
+    (``numerics.taper_mask_all`` is their f32 outer product;
+    ``taper_mask_top`` applies them on the top strip only), so the ramps
+    can be read back off the mask rows/columns where the other factor is
+    exactly 1.0. Returns ``(xramp, zfac, strip01)`` float32 1D arrays:
+    ``xramp`` the x edge ramp (both edges), ``zfac`` the z factor
+    (``kind="all"``: the z edge ramp; ``"top"``: taperz on the strip,
+    1 elsewhere), ``strip01`` the lanes where ``xramp`` applies
+    (all-ones for ``"all"``)."""
+    nxe, nze = mask_all_np.shape
+    xramp = np.ascontiguousarray(mask_all_np[:, nze // 2], np.float32)
+    if kind == "all":
+        zfac = np.ascontiguousarray(mask_all_np[nxe // 2, :], np.float32)
+        strip01 = np.ones(nze, np.float32)
+    else:
+        zfac = np.ascontiguousarray(mask_top_np[nxe // 2, :], np.float32)
+        strip01 = (np.arange(nze) < nzb).astype(np.float32)
+    return xramp, zfac, strip01
+
+
+def separable_mask_operands(xramp, zfac, strip01, order: int,
+                            tile_rows: int):
+    """Build the two operands that replace a full (R, W) taper-mask slab
+    in the K-step kernels (measured: the mask slab was ~1.1 of the ~7.6
+    field-traffics per pass, and the rebuild is bit-identical —
+    ``scripts/exp_kstep_bounds.py``).
+
+    Returns ``(mrow_pad, mzp)``: ``mrow_pad`` (R, 128) with lane 0 the x
+    ramp on content rows (0 in layout slack — the slack re-zeroing the
+    full mask provided) and lane 1 the content-row indicator; ``mzp``
+    (16, W) with rows [0:8] the z factor and rows [8:16] the strip
+    indicator. In-kernel (:func:`_mask_from_ramps`):
+    ``m = mzp[0] * where(mzp[8] != 0, mrow[:, 0], mrow[:, 1])`` —
+    bitwise the mask's own f32 ramp product (multiplication commutes)."""
+    nxe, nze = len(xramp), len(zfac)
+    R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
+    mrow = np.zeros((R, 128), np.float32)
+    mrow[row0:row0 + nxe, 0] = xramp
+    mrow[row0:row0 + nxe, 1] = 1.0
+    mzp = np.zeros((16, W), np.float32)
+    mzp[0:8, col0:col0 + nze] = zfac[None, :]
+    mzp[8:16, col0:col0 + nze] = strip01[None, :]
+    return jnp.asarray(mrow), jnp.asarray(mzp)
+
+
+def _mask_from_ramps(mr_slab, mzp_ref):
+    """Rebuild the (S, W) taper mask from its separable operands — one
+    select + one multiply per tile (not per step). See
+    :func:`separable_mask_operands` for the bit-identity argument."""
+    sel = jnp.where(mzp_ref[8:9, :] != 0.0, mr_slab[:, 0:1],
+                    mr_slab[:, 1:2])
+    return mzp_ref[0:1, :] * sel
+
+
+def injection_window(patch, px_row, pz_col, nxe: int, nze: int, order: int,
+                     tile_rows: int, mask_pad=None):
+    """Build the (48, W) window operand + 8-aligned global start row that
+    replace a full (R, W) pre-placed injection field (source patch /
+    point) in the K-step kernels.
+
+    Rows [16, 32) of the window cover global padded rows
+    ``[win0, win0 + 16)`` which contain the patch rows
+    ``[px_row, px_row + patch.shape[0])`` (patch height <= 8); the 16-row
+    margins on both sides let the in-kernel slice
+    (:func:`_injection_slab`) return all-zeros for tiles the window
+    misses and the correctly shifted rows for straddling tiles, with no
+    branches. ``mask_pad`` (if given) pre-tapers the values exactly like
+    the full-field form did. ``px_row``/``pz_col`` may be traced."""
+    assert patch.shape[0] <= 8, patch.shape
+    R, W, row0, col0 = padded_layout(nxe, nze, order, tile_rows)
+    win0 = (px_row // 8) * 8
+    q0 = px_row - win0 + 16
+    inj48 = jax.lax.dynamic_update_slice(
+        jnp.zeros((48, W), jnp.float32),
+        jnp.asarray(patch, jnp.float32), (q0, pz_col))
+    if mask_pad is not None:
+        # pad before slicing so a window at the layout edge can never
+        # trigger dynamic_slice's start clamping (rows past the layout
+        # read mask 0, which those slack rows carry anyway)
+        mp = jnp.pad(mask_pad, ((16, 48), (0, 0)))
+        inj48 = inj48 * jax.lax.dynamic_slice(mp, (win0, 0), (48, W))
+    return inj48, jnp.reshape(jnp.asarray(win0, jnp.int32), (1,))
+
+
+def _injection_slab(inj48_ref, win0_ref, injslab_ref, i, n_tx, tx, hk,
+                    R, S):
+    """Per-tile: the (S, W) slab-aligned injection value, built by
+    placing the window's 16 content rows into a zeroed VMEM scratch at
+    their slab row offset. Both the window read and the scratch write
+    use dynamic-*start* ref indexing (``pl.ds`` — the one dynamic-index
+    form every Mosaic version lowers; value-level ``dynamic_slice`` is
+    rejected by some), all offsets multiples of 8. For tiles the window
+    misses the read lands in the window's zero margins; for straddling
+    tiles the start shift re-aligns the rows."""
+    # all offsets are multiples of 8; compute them in units of 8 rows and
+    # multiply at the indexing point so Mosaic can prove the sublane
+    # alignment statically (a clipped SMEM value alone it cannot)
+    s0_8 = jnp.where(i == 0, 0,
+                     jnp.where(i == n_tx - 1, (R - S) // 8,
+                               i * (tx // 8) - hk // 8))
+    off_8 = win0_ref[0] // 8 - s0_8
+    c_8 = jnp.clip(off_8, 0, (S - 16) // 8)
+    sh_8 = jnp.clip(2 + c_8 - off_8, 0, 4)
+    injslab_ref[:, :] = jnp.zeros(injslab_ref.shape, jnp.float32)
+    injslab_ref[pl.ds(c_8 * 8, 16), :] = inj48_ref[pl.ds(sh_8 * 8, 16), :]
+    return injslab_ref[:, :]
+
+
 def _lap_x_slab(x, order, cx):
     """x (sublane) taps of a slab on rows ``[h, S-h)``, full lane width,
     zero-padded back to S rows — edge rows get lap 0 instead of a value,
@@ -432,8 +544,9 @@ def _lap_x_slab(x, order, cx):
 
 
 def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
-                  p_hbm, pp_hbm, v2m_hbm, mask_hbm, patchm_hbm,
-                  wav_ref, onegz_ref, onesk_ref, *rest):
+                  p_hbm, pp_hbm, v2m_hbm, mrow_hbm,
+                  wav_ref, win0_ref, mzp_ref, inj48_ref, onegz_ref,
+                  onesk_ref, *rest):
     """K fused leapfrog+taper steps on a halo-extended row slab.
 
     The slab carries ``hk >= K*h`` halo rows; per step the Laplacian
@@ -442,12 +555,16 @@ def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     are exactly the unblocked values (``v2m`` is premultiplied by
     ``dt2`` AND the global Laplacian interior mask, so laps that could
     touch layout slack are zeroed by the operand — no per-row
-    bookkeeping in-kernel). Source injection adds ``wav[k] * patchm``
-    (the 7x7 Gaussian pre-placed and pre-tapered on the full padded
-    layout — ``fd-code.cu:380-584`` order: update -> inject -> taper,
-    matching :func:`...solver.forward_modeling_tiled`). Step k's tapered
-    field is recorded at receiver lane gz via an exact one-hot reduce
-    (adding zeros: bit-exact) into lane k of ``rec_out``.
+    bookkeeping in-kernel). The taper mask is rebuilt per tile from its
+    separable ramp operands (:func:`_mask_from_ramps`, bit-identical)
+    and source injection adds ``wav[k]`` times the pre-tapered patch
+    window placed once per tile into a VMEM scratch
+    (:func:`_injection_slab` — a 48-row VMEM operand instead of a
+    full-field streamed slab; ``fd-code.cu:380-584`` order: update ->
+    inject -> taper, matching :func:`...solver.forward_modeling_tiled`),
+    so only 3 wide slabs + 1 narrow stream per pass instead of 5 wide.
+    Step k's tapered field is recorded at receiver lane gz via an exact
+    one-hot reduce (adding zeros: bit-exact) into lane k of ``rec_out``.
 
     ``use_mxu``: z (lane) taps as banded MXU matmuls on the full slab
     (:func:`..pallas_stencil._lap_z_mxu_full`), x taps on the VPU."""
@@ -464,9 +581,9 @@ def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     else:
         lap_fn = lambda x: lap_in_kernel(x, cx, cz, order)
     (pn_out, ppn_out, rec_out,
-     p_s, pp_s, v2m_s, mask_s, patchm_s, sems) = rest
-    hbms = (p_hbm, pp_hbm, v2m_hbm, mask_hbm, patchm_hbm)
-    scrs = (p_s, pp_s, v2m_s, mask_s, patchm_s)
+     p_s, pp_s, v2m_s, mrow_s, inj_s, sems) = rest
+    hbms = (p_hbm, pp_hbm, v2m_hbm, mrow_hbm)
+    scrs = (p_s, pp_s, v2m_s, mrow_s)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -484,15 +601,16 @@ def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     x = p_s[cur]
     y = pp_s[cur]
     v2m = v2m_s[cur]
-    m = mask_s[cur]
-    pm = patchm_s[cur]
+    m = _mask_from_ramps(mrow_s[cur], mzp_ref)
+    inj = _injection_slab(inj48_ref, win0_ref, inj_s, i, n_tx, tx, hk, R,
+                          tx + 2 * hk)
     rec = jnp.zeros((tx, 128), jnp.float32)
     for k in range(K):
         lap = lap_fn(x)
-        ynew = (2.0 * x - y + v2m * lap) * m + wav_ref[k, 0] * pm
+        ynew = (2.0 * x - y + v2m * lap) * m + wav_ref[k, 0] * inj
         xnew = x * m
-        c = jax.lax.slice(xnew, (hk, 0), (hk + tx, W))
-        col = jnp.sum(c * onegz_ref[0:1, :], axis=1, keepdims=True)
+        cc = jax.lax.slice(xnew, (hk, 0), (hk + tx, W))
+        col = jnp.sum(cc * onegz_ref[0:1, :], axis=1, keepdims=True)
         rec = rec + col * onesk_ref[k:k + 1, :]
         x, y = ynew, xnew
     pn_out[:, :] = jax.lax.slice(x, (hk, 0), (hk + tx, W))
@@ -500,26 +618,28 @@ def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     rec_out[:, :] = rec
 
 
-def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav_chunk,
-                    gz_col: int, coefs_x, coefs_z, order: int,
+def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mrow_pad, mzp, inj48, win0,
+                    wav_chunk, gz_col: int, coefs_x, coefs_z, order: int,
                     nxe: int, nze: int, block_k: int,
                     tile_rows: int = 256, interpret: bool = False,
                     lap_impl=None):
     """``block_k`` fused steps per single HBM pass — temporal blocking of
     :func:`fd_step_padded`. The per-step tier reads 4 and writes 2 full
     fields per step (DMA-bound at ~13 GCell/s pluto-scale); this kernel
-    reads 5 halo-extended slabs and writes 2 + a trace block per **K**
-    steps, cutting HBM traffic ~``6/(7.3/K)`` and moving the tier toward
-    the VPU compute ceiling.
+    reads 3 wide halo-extended slabs + a narrow ramp slab and writes 2
+    fields + a trace block per **K** steps, cutting HBM traffic and
+    moving the tier toward the VPU compute ceiling.
 
-    Operands (all on the :func:`padded_layout(nxe, nze, order,
+    Operands (fields on the :func:`padded_layout(nxe, nze, order,
     tile_rows)`): ``v2m_pad`` premultiplied by ``dt2`` and the global
-    Laplacian interior mask; ``patchm_pad`` the source patch pre-placed
-    at (sx, sz) and pre-tapered (``patch * mask``); ``wav_chunk`` the
-    (K,) wavelet amplitudes of this pass; ``gz_col`` the receiver lane
-    (``col0 + gz``). Returns ``(p', pp', rec)`` with ``rec`` (R, 128):
-    lane k holds the step-k tapered field's receiver column (valid rows =
-    content rows; lanes >= K are zero).
+    Laplacian interior mask; ``(mrow_pad, mzp)`` the separable taper-mask
+    operands (:func:`separable_mask_operands` — rebuilt in-kernel,
+    bit-identical to the full-mask form); ``(inj48, win0)`` the
+    pre-tapered source-patch window (:func:`injection_window`);
+    ``wav_chunk`` the (K,) wavelet amplitudes of this pass; ``gz_col``
+    the receiver lane (``col0 + gz``). Returns ``(p', pp', rec)`` with
+    ``rec`` (R, 128): lane k holds the step-k tapered field's receiver
+    column (valid rows = content rows; lanes >= K are zero).
 
     Requires ``K*h`` (rounded to 8) halo rows <= tile_rows."""
     h = order // 2
@@ -548,19 +668,21 @@ def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav_chunk,
     use_mxu = _use_mxu_lap(lap_impl)
     extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
     S = tx + 2 * hk
-    # 5 double-buffered slabs + 3 output blocks (x2 pipelining) + the
-    # unrolled-K vector stack (~the whole-shot kernels' 24-slab margin)
-    cp = vmem_params(((10 + 24) * S + 6 * tx) * W * 4)
+    # 3 double-buffered wide slabs + the injection scratch + 3 output
+    # blocks (x2 pipelining) + the unrolled-K vector stack (~the
+    # whole-shot kernels' 24-slab margin)
+    cp = vmem_params(((7 + 24) * S + 6 * tx) * W * 4)
     kern = functools.partial(_kstep_kernel, order, hk, K, tx, n_tx, R, W,
                              cz, cx, use_mxu)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     slab = lambda: pltpu.VMEM((2, S, W), jnp.float32)
     return pl.pallas_call(
         kern,
         grid=(n_tx,),
-        in_specs=[any_spec] * 5
-        + [pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem]
+        in_specs=[any_spec] * 4
+        + [smem, smem, vmem, vmem, vmem, vmem]
         + [vmem] * len(extra),
         out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
@@ -571,11 +693,13 @@ def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav_chunk,
         out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32),
                    jax.ShapeDtypeStruct((R, W), jnp.float32),
                    jax.ShapeDtypeStruct((R, 128), jnp.float32)],
-        scratch_shapes=[slab(), slab(), slab(), slab(), slab(),
-                        pltpu.SemaphoreType.DMA((5, 2))],
+        scratch_shapes=[slab(), slab(), slab(),
+                        pltpu.VMEM((2, S, 128), jnp.float32),
+                        pltpu.VMEM((S, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4, 2))],
         compiler_params=cp,
         interpret=interpret,
-    )(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav2,
+    )(p_pad, pp_pad, v2m_pad, mrow_pad, wav2, win0, mzp, inj48,
       onegz, jnp.asarray(onesk), *extra)
 
 
@@ -585,14 +709,17 @@ def fd_kstep_padded(p_pad, pp_pad, v2m_pad, mask_pad, patchm_pad, wav_chunk,
 # ---------------------------------------------------------------------------
 
 def _kstep_gpu_fwd_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
-                          p_hbm, pp_hbm, v2m_hbm, mask_hbm, pointm_hbm,
-                          wav_ref, *rest):
+                          p_hbm, pp_hbm, v2m_hbm, mrow_hbm,
+                          wav_ref, win0_ref, mzp_ref, inj48_ref, *rest):
     """K fused ``fd_forward`` steps (taper-first flavor) on a halo-extended
     row slab: per step ``t = pp*m; pp' = 2t - p*m + v2m*lap(t) +
-    wav[k]*pointm; p' = t`` (``fd-code.cu:259-267`` order: taper -> update
-    -> point source). Same validity-front/slack contract as
+    wav[k]*point; p' = t`` (``fd-code.cu:259-267`` order: taper -> update
+    -> point source; the point source is a 48-row window placed per tile,
+    :func:`_injection_slab`). Same validity-front/slack contract as
     :func:`_kstep_kernel` (``v2m`` premasked by the Laplacian interior;
-    slack rows re-zero through ``m``/``v2m`` every step)."""
+    slack rows re-zero through ``m``/``v2m`` every step; the mask is
+    rebuilt per tile from its separable operands,
+    :func:`_mask_from_ramps`)."""
     from .stencil import lap_in_kernel
     from .pallas_stencil import _lap_z_mxu_full
     if use_mxu:
@@ -605,9 +732,9 @@ def _kstep_gpu_fwd_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
                     + _lap_x_slab(a, order, cx))
     else:
         lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
-    (pn_out, ppn_out, p_s, pp_s, v2m_s, mask_s, pointm_s, sems) = rest
-    hbms = (p_hbm, pp_hbm, v2m_hbm, mask_hbm, pointm_hbm)
-    scrs = (p_s, pp_s, v2m_s, mask_s, pointm_s)
+    (pn_out, ppn_out, p_s, pp_s, v2m_s, mrow_s, inj_s, sems) = rest
+    hbms = (p_hbm, pp_hbm, v2m_hbm, mrow_hbm)
+    scrs = (p_s, pp_s, v2m_s, mrow_s)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -625,18 +752,19 @@ def _kstep_gpu_fwd_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     x = p_s[cur]
     y = pp_s[cur]
     v2m = v2m_s[cur]
-    m = mask_s[cur]
-    pm = pointm_s[cur]
+    m = _mask_from_ramps(mrow_s[cur], mzp_ref)
+    inj = _injection_slab(inj48_ref, win0_ref, inj_s, i, n_tx, tx, hk, R,
+                          tx + 2 * hk)
     for k in range(K):
         t = y * m
-        ynew = 2.0 * t - x * m + v2m * lap_fn(t) + wav_ref[k, 0] * pm
+        ynew = 2.0 * t - x * m + v2m * lap_fn(t) + wav_ref[k, 0] * inj
         x, y = t, ynew
     pn_out[:, :] = jax.lax.slice(x, (hk, 0), (hk + tx, W))
     ppn_out[:, :] = jax.lax.slice(y, (hk, 0), (hk + tx, W))
 
 
-def fd_kstep_gpu_fwd_padded(p_pad, pp_pad, v2m_pad, mask_pad, pointm_pad,
-                            wav_chunk, coefs_x, coefs_z, order: int,
+def fd_kstep_gpu_fwd_padded(p_pad, pp_pad, v2m_pad, mrow_pad, mzp, inj48,
+                            win0, wav_chunk, coefs_x, coefs_z, order: int,
                             nxe: int, nze: int, block_k: int,
                             tile_rows: int = 256, interpret: bool = False,
                             lap_impl=None):
@@ -645,10 +773,12 @@ def fd_kstep_gpu_fwd_padded(p_pad, pp_pad, v2m_pad, mask_pad, pointm_pad,
 
     Operands share :func:`padded_layout(nxe, nze, order, tile_rows)`:
     ``v2m_pad`` is ``v2 * dt2`` premultiplied by the Laplacian interior
-    mask; ``pointm_pad`` the one-hot point source at ``(row0+sx,
-    col0+sz)`` (raw, NOT pre-tapered — ``fd-code.cu:295`` injects after
-    the taper); ``wav_chunk`` the (K,) amplitudes of this pass. Returns
-    ``(p', pp')`` exactly as K iterations of
+    mask; ``(mrow_pad, mzp)`` the separable top-strip taper operands
+    (:func:`separable_mask_operands`); ``(inj48, win0)`` the one-hot
+    point-source window at ``(row0+sx, col0+sz)``
+    (:func:`injection_window`; raw, NOT pre-tapered — ``fd-code.cu:295``
+    injects after the taper); ``wav_chunk`` the (K,) amplitudes of this
+    pass. Returns ``(p', pp')`` exactly as K iterations of
     :func:`...solver.rtm_shot_snapshot_tiled`'s forward body."""
     h = order // 2
     K = int(block_k)
@@ -667,34 +797,38 @@ def fd_kstep_gpu_fwd_padded(p_pad, pp_pad, v2m_pad, mask_pad, pointm_pad,
     use_mxu = _use_mxu_lap(lap_impl)
     extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
     S = tx + 2 * hk
-    cp = vmem_params(((10 + 24) * S + 4 * tx) * W * 4)
+    cp = vmem_params(((7 + 24) * S + 4 * tx) * W * 4)
     kern = functools.partial(_kstep_gpu_fwd_kernel, order, hk, K, tx, n_tx,
                              R, W, cz, cx, use_mxu)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    slab = lambda: pltpu.VMEM((2, tx + 2 * hk, W), jnp.float32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    slab = lambda: pltpu.VMEM((2, S, W), jnp.float32)
     return pl.pallas_call(
         kern,
         grid=(n_tx,),
-        in_specs=[any_spec] * 5
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
+        in_specs=[any_spec] * 4 + [smem, smem, vmem, vmem]
+        + [vmem] * len(extra),
         out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32),
                    jax.ShapeDtypeStruct((R, W), jnp.float32)],
-        scratch_shapes=[slab(), slab(), slab(), slab(), slab(),
-                        pltpu.SemaphoreType.DMA((5, 2))],
+        scratch_shapes=[slab(), slab(), slab(),
+                        pltpu.VMEM((2, S, 128), jnp.float32),
+                        pltpu.VMEM((S, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4, 2))],
         compiler_params=cp,
         interpret=interpret,
-    )(p_pad, pp_pad, v2m_pad, mask_pad, pointm_pad, wav2, *extra)
+    )(p_pad, pp_pad, v2m_pad, mrow_pad, wav2, win0, mzp, inj48, *extra)
 
 
 def _kstep_gpu_bwd_kernel(order, hk, K, tx, n_tx, R, W, row0, nxb, nx,
                           cz, cx, use_mxu,
                           ps_hbm, pps_hbm, pr_hbm, ppr_hbm, v2m_hbm,
-                          mask_hbm, sism_hbm, im_ref, colm_ref, *rest):
+                          mrow_hbm, sism_hbm, im_ref, colm_ref, mzp_ref,
+                          *rest):
     """K fused ``fd_back`` steps: the untapered source reconstruction and
     the tapered receiver propagation advance together so the K6 zero-lag
     correlation accumulates in VMEM and the image round-trips HBM once
@@ -720,9 +854,9 @@ def _kstep_gpu_bwd_kernel(order, hk, K, tx, n_tx, R, W, row0, nxb, nx,
     else:
         lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
     (psn_out, ppsn_out, prn_out, pprn_out, imn_out,
-     ps_s, pps_s, pr_s, ppr_s, v2m_s, mask_s, sism_s, sems) = rest
-    hbms = (ps_hbm, pps_hbm, pr_hbm, ppr_hbm, v2m_hbm, mask_hbm, sism_hbm)
-    scrs = (ps_s, pps_s, pr_s, ppr_s, v2m_s, mask_s, sism_s)
+     ps_s, pps_s, pr_s, ppr_s, v2m_s, mrow_s, sism_s, sems) = rest
+    hbms = (ps_hbm, pps_hbm, pr_hbm, ppr_hbm, v2m_hbm, mrow_hbm, sism_hbm)
+    scrs = (ps_s, pps_s, pr_s, ppr_s, v2m_s, mrow_s, sism_s)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -742,7 +876,7 @@ def _kstep_gpu_bwd_kernel(order, hk, K, tx, n_tx, R, W, row0, nxb, nx,
     yr = pr_s[cur]
     xr = ppr_s[cur]
     v2m = v2m_s[cur]
-    m = mask_s[cur]
+    m = _mask_from_ramps(mrow_s[cur], mzp_ref)
     sis = sism_s[cur]
     gzhot = colm_ref[8:9, :]
     imacc = jnp.zeros((tx, W), jnp.float32)
@@ -765,7 +899,7 @@ def _kstep_gpu_bwd_kernel(order, hk, K, tx, n_tx, R, W, row0, nxb, nx,
 
 
 def fd_kstep_gpu_bwd_padded(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad,
-                            mask_pad, sism_pad, im_pad, gz_col,
+                            mrow_pad, mzp, sism_pad, im_pad, gz_col,
                             coefs_x, coefs_z, order: int, nxe: int,
                             nze: int, nzb: int, nz: int, nxb: int, nx: int,
                             block_k: int, tile_rows: int = 256,
@@ -773,7 +907,8 @@ def fd_kstep_gpu_bwd_padded(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad,
     """``block_k`` fused ``fd_back`` steps per single HBM pass. The
     per-step tier moves ~14 field-traffics per step (two kernels:
     :func:`fd_update_padded` + :func:`fd_step_gpu_padded` with imaging);
-    this kernel reads 6 halo-extended slabs + a narrow trace block + the
+    this kernel reads 5 wide halo-extended slabs + two narrow slabs
+    (taper ramps :func:`separable_mask_operands` + trace block) + the
     image and writes 4 fields + the image per **K** steps.
 
     ``sism_pad`` is (R, 128): lane k carries the step-k time-reversed
@@ -804,9 +939,9 @@ def fd_kstep_gpu_bwd_padded(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad,
     use_mxu = _use_mxu_lap(lap_impl)
     extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
     S = tx + 2 * hk
-    # 6 wide double-buffered slabs + 6 output/input blocks (x2
+    # 5 wide double-buffered slabs + 6 output/input blocks (x2
     # pipelining) + the unrolled-2K vector stack
-    cp = vmem_params(((12 + 24) * S + 12 * tx) * W * 4)
+    cp = vmem_params(((10 + 24) * S + 12 * tx) * W * 4)
     kern = functools.partial(_kstep_gpu_bwd_kernel, order, hk, K, tx, n_tx,
                              R, W, row0, nxb, nx, cz, cx, use_mxu)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -817,37 +952,46 @@ def fd_kstep_gpu_bwd_padded(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad,
         in_specs=[any_spec] * 7
         + [pl.BlockSpec((tx, W), lambda i: (i, 0),
                         memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
         out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 5,
         out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32)] * 5,
-        scratch_shapes=[slab(), slab(), slab(), slab(), slab(), slab(),
+        scratch_shapes=[slab(), slab(), slab(), slab(), slab(),
+                        pltpu.VMEM((2, S, 128), jnp.float32),
                         pltpu.VMEM((2, S, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((7, 2))],
         compiler_params=cp,
         interpret=interpret,
-    )(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad, mask_pad, sism_pad,
-      im_pad, colm_packed, *extra)
+    )(ps_pad, pps_pad, pr_pad, ppr_pad, v2m_pad, mrow_pad, sism_pad,
+      im_pad, colm_packed, mzp, *extra)
 
 
 def _kstep_rec_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
                       column_inj,
-                      p_hbm, pp_hbm, v2m_hbm, mask_hbm, inj_hbm, amp_ref,
-                      *rest):
+                      p_hbm, pp_hbm, v2m_hbm, mrow_hbm, *args):
     """K fused CPU-flavor steps recording the tapered time-t field as K
     full frames — the wavefield-recording variant of :func:`_kstep_kernel`
     (``rtm_main``'s memory-heavy design point, ``rtm_main.cpp:177-181``).
+    The taper mask streams as its separable ramp operands
+    (:func:`_mask_from_ramps`).
 
-    Injection modes (static): ``column_inj=False`` adds ``amp[k] * inj``
-    (the pre-placed pre-tapered source patch, ``amp`` the wavelet SMEM
-    block — forward modeling); ``column_inj=True`` adds
-    ``inj[:, k] * amp`` (``inj`` a narrow (R, 128) slab whose lane k
+    Injection modes (static): ``column_inj=False`` slice-adds
+    ``amp[k]`` times the pre-tapered source-patch window rows
+    (:func:`_injection_slab` — forward modeling); ``column_inj=True``
+    adds ``inj[:, k] * amp`` (``inj`` a narrow (R, 128) slab whose lane k
     carries the step-k pre-masked receiver rows, ``amp`` the
     receiver-lane one-hot — ``rtm_main.cpp:196-220``'s time-reversed
     trace injection)."""
     from .stencil import lap_in_kernel
     from .pallas_stencil import _lap_z_mxu_full
+    if column_inj:
+        inj_hbm, amp_ref, mzp_ref = args[:3]
+        rest = args[3:]
+    else:
+        amp_ref, win0_ref, mzp_ref, inj48_ref = args[:4]
+        rest = args[4:]
     if use_mxu:
         sf_ref, sm_ref, sl_ref = rest[:3]
         rest = rest[3:]
@@ -858,10 +1002,16 @@ def _kstep_rec_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
                     + _lap_x_slab(a, order, cx))
     else:
         lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
-    (pn_out, ppn_out, frames_out,
-     p_s, pp_s, v2m_s, mask_s, inj_s, sems) = rest
-    hbms = (p_hbm, pp_hbm, v2m_hbm, mask_hbm, inj_hbm)
-    scrs = (p_s, pp_s, v2m_s, mask_s, inj_s)
+    if column_inj:
+        (pn_out, ppn_out, frames_out,
+         p_s, pp_s, v2m_s, mrow_s, inj_s, sems) = rest
+        hbms = (p_hbm, pp_hbm, v2m_hbm, mrow_hbm, inj_hbm)
+        scrs = (p_s, pp_s, v2m_s, mrow_s, inj_s)
+    else:
+        (pn_out, ppn_out, frames_out,
+         p_s, pp_s, v2m_s, mrow_s, injw_s, sems) = rest
+        hbms = (p_hbm, pp_hbm, v2m_hbm, mrow_hbm)
+        scrs = (p_s, pp_s, v2m_s, mrow_s)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -879,15 +1029,19 @@ def _kstep_rec_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     x = p_s[cur]
     y = pp_s[cur]
     v2m = v2m_s[cur]
-    m = mask_s[cur]
-    inj = inj_s[cur]
+    m = _mask_from_ramps(mrow_s[cur], mzp_ref)
+    if column_inj:
+        inj = inj_s[cur]
+    else:
+        injw = _injection_slab(inj48_ref, win0_ref, injw_s, i, n_tx, tx,
+                               hk, R, tx + 2 * hk)
     for k in range(K):
         lap = lap_fn(x)
+        ynew = (2.0 * x - y + v2m * lap) * m
         if column_inj:
-            inj_term = inj[:, k:k + 1] * amp_ref[0:1, :]
+            ynew = ynew + inj[:, k:k + 1] * amp_ref[0:1, :]
         else:
-            inj_term = amp_ref[k, 0] * inj
-        ynew = (2.0 * x - y + v2m * lap) * m + inj_term
+            ynew = ynew + amp_ref[k, 0] * injw
         xnew = x * m
         frames_out[k, :, :] = jax.lax.slice(xnew, (hk, 0), (hk + tx, W))
         x, y = ynew, xnew
@@ -895,22 +1049,26 @@ def _kstep_rec_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
     ppn_out[:, :] = jax.lax.slice(y, (hk, 0), (hk + tx, W))
 
 
-def fd_kstep_rec_padded(p_pad, pp_pad, v2m_pad, mask_pad, inj_pad, amp,
+def fd_kstep_rec_padded(p_pad, pp_pad, v2m_pad, mrow_pad, mzp, inj, amp,
                         coefs_x, coefs_z, order: int, nxe: int, nze: int,
                         block_k: int, column_inj: bool = False,
-                        tile_rows: int = 256, interpret: bool = False,
-                        lap_impl=None):
+                        win0=None, tile_rows: int = 256,
+                        interpret: bool = False, lap_impl=None):
     """``block_k`` fused CPU-flavor steps per HBM pass, recording K full
     tapered time-t frames — temporal blocking for the wavefield-recording
     drivers (:func:`...solver.forward_modeling_tiled` with
     ``record="wavefield"`` and :func:`...solver.backward_recorded_tiled`).
+    ``(mrow_pad, mzp)`` are the separable taper-mask operands
+    (:func:`separable_mask_operands`).
 
-    ``column_inj=False``: ``inj_pad`` is the pre-placed pre-tapered
-    source patch (R, W), ``amp`` the (K,) wavelet chunk.
-    ``column_inj=True``: ``inj_pad`` is (R, 128) with lane k carrying the
+    ``column_inj=False``: ``inj`` is the pre-tapered source-patch window
+    (48, W) with ``win0`` its start row (:func:`injection_window`),
+    ``amp`` the (K,) wavelet chunk.
+    ``column_inj=True``: ``inj`` is (R, 128) with lane k carrying the
     step-k receiver rows premultiplied by the taper column at the
     receiver lane, ``amp`` the receiver lane index (``col0 + gz``, may
-    be traced). Returns ``(p', pp', frames)`` with frames (K, R, W)."""
+    be traced); ``win0`` unused. Returns ``(p', pp', frames)`` with
+    frames (K, R, W)."""
     h = order // 2
     K = int(block_k)
     hk = -(-(K * h) // 8) * 8
@@ -922,31 +1080,42 @@ def fd_kstep_rec_padded(p_pad, pp_pad, v2m_pad, mask_pad, inj_pad, amp,
 
     cz = [float(v) for v in coefs_z]
     cx = [float(v) for v in coefs_x]
+    S = tx + 2 * hk
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if column_inj:
         lane = jnp.arange(W, dtype=jnp.int32)
         amp_in = jnp.broadcast_to(
             (lane == amp).astype(jnp.float32)[None, :], (8, W))
-        amp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        inj_scratch = pltpu.VMEM((2, tx + 2 * hk, 128), jnp.float32)
+        # inputs: 5 slabs (inj narrow) + one-hot amp + mzp
+        n_any, tail_specs = 5, [vmem, vmem]
+        tail_ops = (amp_in, mzp)
+        inj_scratch = [pltpu.VMEM((2, S, 128), jnp.float32)]
+        n_slabs = 5
     else:
+        assert win0 is not None
         amp_in = jnp.reshape(amp.astype(jnp.float32), (K, 1))
-        amp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        inj_scratch = pltpu.VMEM((2, tx + 2 * hk, W), jnp.float32)
+        # inputs: 4 slabs + wavelet SMEM + win0 SMEM + mzp + inj48
+        n_any, tail_specs = 4, [smem, smem, vmem, vmem]
+        tail_ops = (amp_in, win0, mzp, inj)
+        inj_scratch = [pltpu.VMEM((S, W), jnp.float32)]
+        n_slabs = 4
 
     from .pallas_fd import vmem_params, _use_mxu_lap
     use_mxu = _use_mxu_lap(lap_impl)
     extra = list(stream_band_inputs(cz, order, W, use_mxu)) if use_mxu else []
-    S = tx + 2 * hk
-    cp = vmem_params(((10 + 24) * S + (4 + 2 * K) * tx) * W * 4)
+    cp = vmem_params(((8 + 24) * S + (4 + 2 * K) * tx) * W * 4)
     kern = functools.partial(_kstep_rec_kernel, order, hk, K, tx, n_tx, R,
                              W, cz, cx, use_mxu, column_inj)
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     slab = lambda: pltpu.VMEM((2, S, W), jnp.float32)
+    ins = ((p_pad, pp_pad, v2m_pad, mrow_pad, inj) if column_inj
+           else (p_pad, pp_pad, v2m_pad, mrow_pad))
     return pl.pallas_call(
         kern,
         grid=(n_tx,),
-        in_specs=[any_spec] * 5 + [amp_spec]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra),
+        in_specs=[any_spec] * n_any + tail_specs
+        + [vmem] * len(extra),
         out_specs=[pl.BlockSpec((tx, W), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tx, W), lambda i: (i, 0),
@@ -956,8 +1125,10 @@ def fd_kstep_rec_padded(p_pad, pp_pad, v2m_pad, mask_pad, inj_pad, amp,
         out_shape=[jax.ShapeDtypeStruct((R, W), jnp.float32),
                    jax.ShapeDtypeStruct((R, W), jnp.float32),
                    jax.ShapeDtypeStruct((K, R, W), jnp.float32)],
-        scratch_shapes=[slab(), slab(), slab(), slab(), inj_scratch,
-                        pltpu.SemaphoreType.DMA((5, 2))],
+        scratch_shapes=[slab(), slab(), slab(),
+                        pltpu.VMEM((2, S, 128), jnp.float32)]
+        + inj_scratch
+        + [pltpu.SemaphoreType.DMA((n_slabs, 2))],
         compiler_params=cp,
         interpret=interpret,
-    )(p_pad, pp_pad, v2m_pad, mask_pad, inj_pad, amp_in, *extra)
+    )(*ins, *tail_ops, *extra)

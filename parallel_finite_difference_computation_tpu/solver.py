@@ -274,6 +274,8 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
     from VMEM (:func:`..ops.pallas_stream.fd_kstep_rec_padded`,
     ``rtm_main.cpp:177-181``)."""
     from .ops.pallas_stream import (fd_kstep_padded, fd_kstep_rec_padded,
+                                    mask_ramps, separable_mask_operands,
+                                    injection_window,
                                     padded_layout, to_padded, from_padded)
     from .ops.stencil import lap_interior_mask
     order = ctx.order
@@ -282,17 +284,23 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
     v2m_pad = to_padded(
         v2 * ctx.dt2 * jnp.asarray(lap_interior_mask(ctx.nxe, ctx.nze,
                                                      order)), order, tr)
+    # the mask streams as its separable ramps; the full padded mask is
+    # only an XLA-level temp for pre-tapering the injection window
     mask_pad = to_padded(
         jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top),
+        order, tr)
+    mrow_pad, mzp = separable_mask_operands(
+        *mask_ramps(ctx.mask_all, ctx.mask_top,
+                    "all" if taper == "all" else "top", ctx.nzb),
         order, tr)
     if source == "gaussian":
         patch = jnp.asarray(ctx.source_patch)
     else:
         patch = jnp.ones((1, 1), jnp.float32)
     r = patch.shape[0] // 2
-    patchm_pad = jax.lax.dynamic_update_slice(
-        jnp.zeros((R, W), jnp.float32), patch,
-        (row0 + sx - r, col0 + sz - r)) * mask_pad
+    inj48, win0 = injection_window(patch, row0 + sx - r, col0 + sz - r,
+                                   ctx.nxe, ctx.nze, order, tr,
+                                   mask_pad=mask_pad)
 
     nt = wavelet.shape[0]
     K = int(block_k)
@@ -301,16 +309,16 @@ def _forward_modeling_kblocked(ctx: FDContext, v2, wavelet, sx, sz, gz,
     def one_pass(p, pp, wchunk, k):
         if record == "wavefield":
             pn, ppn, frames = fd_kstep_rec_padded(
-                p, pp, v2m_pad, mask_pad, patchm_pad, wchunk,
+                p, pp, v2m_pad, mrow_pad, mzp, inj48, wchunk,
                 ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k,
-                column_inj=False, tile_rows=tr, interpret=interpret,
-                lap_impl=lap_impl)
+                column_inj=False, win0=win0, tile_rows=tr,
+                interpret=interpret, lap_impl=lap_impl)
             out = jax.lax.slice(
                 frames, (0, row0 + ctx.nxb, col0 + ctx.nzb),
                 (k, row0 + ctx.nxb + ctx.nx, col0 + ctx.nzb + ctx.nz))
             return pn, ppn, out
         pn, ppn, rec = fd_kstep_padded(
-            p, pp, v2m_pad, mask_pad, patchm_pad, wchunk, col0 + gz,
+            p, pp, v2m_pad, mrow_pad, mzp, inj48, win0, wchunk, col0 + gz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
             interpret=interpret, lap_impl=lap_impl)
         # rec lane k = step-k receiver column over rows; valid rows are
@@ -436,7 +444,9 @@ def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     operand packs the K time-reversed trace rows into lanes [0, K)."""
     from .ops.pallas_stream import (fd_kstep_gpu_fwd_padded,
                                     fd_kstep_gpu_bwd_padded,
-                                    fd_step_gpu_padded,
+                                    fd_step_gpu_padded, mask_ramps,
+                                    separable_mask_operands,
+                                    injection_window,
                                     padded_layout, to_padded, from_padded)
     from .ops.stencil import lap_interior_mask
     order = ctx.order
@@ -448,15 +458,19 @@ def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
         v2 * ctx.dt2 * jnp.asarray(lap_interior_mask(ctx.nxe, ctx.nze,
                                                      order)), order, tr)
     mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tr)
-    pointm_pad = jnp.zeros((R, W), jnp.float32).at[
-        row0 + sx, col0 + sz].set(1.0)
+    mrow_pad, mzp = separable_mask_operands(
+        *mask_ramps(ctx.mask_all, ctx.mask_top, "top", ctx.nzb), order, tr)
+    # raw one-hot point source (not tapered, fd-code.cu:295) as a window
+    point48, win0 = injection_window(
+        jnp.ones((1, 1), jnp.float32), row0 + sx, col0 + sz,
+        ctx.nxe, ctx.nze, order, tr)
     zero = jnp.zeros((R, W), jnp.float32)
     nt = ctx.nt
 
     def fwd_pass(carry, wchunk, k):
         p, pp = carry
         return fd_kstep_gpu_fwd_padded(
-            p, pp, v2m_pad, mask_pad, pointm_pad, wchunk,
+            p, pp, v2m_pad, mrow_pad, mzp, point48, win0, wchunk,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k, tr,
             interpret=interpret, lap_impl=lap_impl)
 
@@ -495,7 +509,7 @@ def _rtm_snapshot_kblocked(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
         sism = jnp.zeros((R, 128), jnp.float32).at[
             row0 + ctx.nxb:row0 + ctx.nxb + ctx.nx, 0:k].set(inj_k.T)
         return fd_kstep_gpu_bwd_padded(
-            p, pp, pr, ppr, v2m_pad, mask_pad, sism, im, col0 + gz,
+            p, pp, pr, ppr, v2m_pad, mrow_pad, mzp, sism, im, col0 + gz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze,
             ctx.nzb, ctx.nz, ctx.nxb, ctx.nx, k, tr, interpret=interpret,
             lap_impl=lap_impl)
@@ -648,7 +662,8 @@ def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
     :func:`_injection_rows`) into lanes [0, K), premultiplied by the
     taper column at the receiver lane (the per-step driver's masked
     injection, ``rtm_main.cpp:196-220``)."""
-    from .ops.pallas_stream import (fd_kstep_rec_padded, padded_layout,
+    from .ops.pallas_stream import (fd_kstep_rec_padded, mask_ramps,
+                                    separable_mask_operands, padded_layout,
                                     to_padded, from_padded)
     from .ops.stencil import lap_interior_mask
     order = ctx.order
@@ -659,6 +674,8 @@ def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
         v2 * ctx.dt2 * jnp.asarray(lap_interior_mask(ctx.nxe, ctx.nze,
                                                      order)), order, tr)
     mask_pad = to_padded(jnp.asarray(ctx.mask_top), order, tr)
+    mrow_pad, mzp = separable_mask_operands(
+        *mask_ramps(ctx.mask_all, ctx.mask_top, "top", ctx.nzb), order, tr)
     cgz = col0 + gz
     mask_col = jax.lax.dynamic_slice(mask_pad, (0, cgz), (R, 1))
     nt = ctx.nt
@@ -671,7 +688,7 @@ def _backward_recorded_kblocked(ctx: FDContext, v2, inj, gz, x_off,
             row0 + x_off:row0 + x_off + ctx.nx, 0:k].set(
                 jnp.transpose(inj_k)) * mask_col
         pn, ppn, frames = fd_kstep_rec_padded(
-            p, pp, v2m_pad, mask_pad, sismm, cgz,
+            p, pp, v2m_pad, mrow_pad, mzp, sismm, cgz,
             ctx.coefs_x, ctx.coefs_z, order, ctx.nxe, ctx.nze, k,
             column_inj=True, tile_rows=tr, interpret=interpret,
             lap_impl=lap_impl)

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from parallel_finite_difference_computation_tpu.ops.pallas_stencil import (
     padded_layout, to_padded, stream_band_inputs, _lap_z_mxu_full)
 from parallel_finite_difference_computation_tpu.ops.pallas_stream import (
-    _kslab_dma_start, _kslab_dma_wait, _lap_x_slab, fd_kstep_padded)
+    _kslab_dma_start, _kslab_dma_wait, _lap_x_slab, fd_kstep_padded,
+    mask_ramps, separable_mask_operands, injection_window)
 from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
     vmem_params)
 from parallel_finite_difference_computation_tpu.ops.stencil import (
@@ -271,7 +272,13 @@ def main():
                              numerics.taper_profile(40, 0.75),
                              numerics.taper_profile(40, 0.75)))
     mask = pad(mask_np)
-    patchm = pad(np.zeros((NXE, NZE), np.float32))
+    patchm = pad(np.zeros((NXE, NZE), np.float32))  # 5-slab probe operand
+    mask_top_np = np.asarray(ctx.mask_top)
+    mrow_pad, mzp = separable_mask_operands(
+        *mask_ramps(mask_np, mask_top_np, "all", 40), ORDER, TX)
+    inj48, win0 = injection_window(np.zeros((1, 1), np.float32),
+                                   row0 + 40, col0 + 40, NXE, NZE,
+                                   ORDER, TX)
     cx_arr, cz_arr = [np.asarray(c) for c in
                       numerics.scaled_coefficients(ORDER, 7.62, 7.62)]
     cz = [float(c) for c in cz_arr]
@@ -282,8 +289,9 @@ def main():
     for impl in ("exact", "mxu"):
         def step1(p, pp, _impl=impl):
             pn, ppn, _rec = fd_kstep_padded(
-                p, pp, v2m, mask, patchm, wav, col0 + 40, cx_arr, cz_arr,
-                ORDER, NXE, NZE, K, TX, interpret=INTERPRET,
+                p, pp, v2m, mrow_pad, mzp, inj48, win0, wav, col0 + 40,
+                cx_arr, cz_arr, ORDER, NXE, NZE, K, TX,
+                interpret=INTERPRET,
                 lap_impl=(None if _impl == "exact" else _impl))
             return pn, ppn
         t = timed_scan(step1, (p0, pp0)) / K
@@ -345,7 +353,8 @@ def main():
         # value sanity vs baseline exact at one pass
         if impl == "exact":
             pn_b, ppn_b, _ = fd_kstep_padded(
-                p0, pp0, v2m, mask, patchm, jnp.zeros((K,), jnp.float32),
+                p0, pp0, v2m, mrow_pad, mzp, inj48, win0,
+                jnp.zeros((K,), jnp.float32),
                 col0 + 40, cx_arr, cz_arr, ORDER, NXE, NZE, K, TX,
                 interpret=INTERPRET)
             pn_l, ppn_l = step_l(p0, pp0)

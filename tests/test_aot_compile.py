@@ -285,40 +285,51 @@ class TestStreamingKernels:
         """The temporal-blocking modeling kernel (K=4 fused steps per HBM
         pass) compiles for a real v5e target, exact and MXU z-taps."""
         from parallel_finite_difference_computation_tpu.ops.pallas_stream \
-            import fd_kstep_padded
+            import (fd_kstep_padded, separable_mask_operands,
+                    injection_window)
         from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
             import padded_layout
         cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
         nxe, nze = 300, 260
         tr = 32
-        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        R, W, row0, col0 = padded_layout(nxe, nze, 8, tr)
         p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
-        mask = jnp.ones((R, W), jnp.float32)
+        mrow, mzp = separable_mask_operands(
+            np.ones(nxe, np.float32), np.ones(nze, np.float32),
+            np.ones(nze, np.float32), 8, tr)
+        inj48, win0 = injection_window(jnp.ones((7, 7), jnp.float32),
+                                       row0 + 50, col0 + 30, nxe, nze, 8, tr)
         wav = jnp.asarray(rng_mod.standard_normal(4), jnp.float32)
         _aot(tpu_sharding,
-             lambda p, pp, v2m, m, pm, w: fd_kstep_padded(
-                 p, pp, v2m, m, pm, w, 20, cx, cz, 8, nxe, nze, 4, tr,
-                 lap_impl=lap_impl), p, p, p, mask, p, wav)
+             lambda p, pp, v2m, mr, mz, i48, w0, w: fd_kstep_padded(
+                 p, pp, v2m, mr, mz, i48, w0, w, 20, cx, cz, 8, nxe, nze,
+                 4, tr, lap_impl=lap_impl),
+             p, p, p, mrow, mzp, inj48, win0, wav)
 
     @pytest.mark.parametrize("lap_impl", [None, "mxu"])
     def test_fd_kstep_gpu_fwd_padded(self, tpu_sharding, rng_mod, lap_impl):
         """The temporally-blocked fd_forward kernel (taper-first GPU-suite
         flavor) compiles for a real v5e target."""
         from parallel_finite_difference_computation_tpu.ops.pallas_stream \
-            import fd_kstep_gpu_fwd_padded
+            import (fd_kstep_gpu_fwd_padded, separable_mask_operands,
+                    injection_window)
         from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
             import padded_layout
         cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
         nxe, nze = 300, 260
         tr = 32
-        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        R, W, row0, col0 = padded_layout(nxe, nze, 8, tr)
         p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
-        mask = jnp.ones((R, W), jnp.float32)
+        mrow, mzp = separable_mask_operands(
+            np.ones(nxe, np.float32), np.ones(nze, np.float32),
+            np.ones(nze, np.float32), 8, tr)
+        inj48, win0 = injection_window(jnp.ones((1, 1), jnp.float32),
+                                       row0 + 50, col0 + 30, nxe, nze, 8, tr)
         wav = jnp.asarray(rng_mod.standard_normal(4), jnp.float32)
         _aot(tpu_sharding,
-             lambda p, pp, v2m, m, pm, w: fd_kstep_gpu_fwd_padded(
-                 p, pp, v2m, m, pm, w, cx, cz, 8, nxe, nze, 4, tr,
-                 lap_impl=lap_impl), p, p, p, mask, p, wav)
+             lambda p, pp, v2m, mr, mz, i48, w0, w: fd_kstep_gpu_fwd_padded(
+                 p, pp, v2m, mr, mz, i48, w0, w, cx, cz, 8, nxe, nze, 4, tr,
+                 lap_impl=lap_impl), p, p, p, mrow, mzp, inj48, win0, wav)
 
     @pytest.mark.parametrize("lap_impl", [None, "mxu"])
     def test_fd_kstep_gpu_bwd_padded(self, tpu_sharding, rng_mod, lap_impl):
@@ -326,7 +337,7 @@ class TestStreamingKernels:
         source reconstruction + tapered receiver + in-kernel K5/K6)
         compiles for a real v5e target."""
         from parallel_finite_difference_computation_tpu.ops.pallas_stream \
-            import fd_kstep_gpu_bwd_padded
+            import fd_kstep_gpu_bwd_padded, separable_mask_operands
         from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
             import padded_layout
         cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
@@ -334,13 +345,16 @@ class TestStreamingKernels:
         tr = 32
         R, W, _, _ = padded_layout(nxe, nze, 8, tr)
         p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
-        mask = jnp.ones((R, W), jnp.float32)
+        mrow, mzp = separable_mask_operands(
+            np.ones(nxe, np.float32), np.ones(nze, np.float32),
+            np.ones(nze, np.float32), 8, tr)
         sism = jnp.asarray(rng_mod.standard_normal((R, 128)), jnp.float32)
         _aot(tpu_sharding,
-             lambda ps, pps, pr, ppr, v2m, m, s, im: fd_kstep_gpu_bwd_padded(
-                 ps, pps, pr, ppr, v2m, m, s, im, 20, cx, cz, 8,
+             lambda ps, pps, pr, ppr, v2m, mr, mz, s, im:
+             fd_kstep_gpu_bwd_padded(
+                 ps, pps, pr, ppr, v2m, mr, mz, s, im, 20, cx, cz, 8,
                  nxe, nze, 16, 228, 16, 268, 4, tr, lap_impl=lap_impl),
-             p, p, p, p, p, mask, sism, p)
+             p, p, p, p, p, mrow, mzp, sism, p)
 
     @pytest.mark.parametrize("column_inj", [False, True])
     def test_fd_kstep_rec_padded(self, tpu_sharding, rng_mod, column_inj):
@@ -348,22 +362,29 @@ class TestStreamingKernels:
         frames per HBM pass; patch and column injection modes) compiles
         for a real v5e target."""
         from parallel_finite_difference_computation_tpu.ops.pallas_stream \
-            import fd_kstep_rec_padded
+            import (fd_kstep_rec_padded, separable_mask_operands,
+                    injection_window)
         from parallel_finite_difference_computation_tpu.ops.pallas_stencil \
             import padded_layout
         cx, cz = numerics.scaled_coefficients(8, 10.0, 10.0)
         nxe, nze = 300, 260
         tr = 32
-        R, W, _, _ = padded_layout(nxe, nze, 8, tr)
+        R, W, row0, col0 = padded_layout(nxe, nze, 8, tr)
         p = jnp.asarray(rng_mod.standard_normal((R, W)), jnp.float32)
-        mask = jnp.ones((R, W), jnp.float32)
+        mrow, mzp = separable_mask_operands(
+            np.ones(nxe, np.float32), np.ones(nze, np.float32),
+            np.ones(nze, np.float32), 8, tr)
         if column_inj:
             inj = jnp.asarray(rng_mod.standard_normal((R, 128)), jnp.float32)
             amp = 20
+            win0 = None
         else:
-            inj = p
+            inj, win0 = injection_window(jnp.ones((7, 7), jnp.float32),
+                                         row0 + 50, col0 + 30,
+                                         nxe, nze, 8, tr)
             amp = jnp.asarray(rng_mod.standard_normal(4), jnp.float32)
         _aot(tpu_sharding,
-             lambda p, pp, v2m, m, i: fd_kstep_rec_padded(
-                 p, pp, v2m, m, i, amp, cx, cz, 8, nxe, nze, 4,
-                 column_inj=column_inj, tile_rows=tr), p, p, p, mask, inj)
+             lambda p, pp, v2m, mr, mz, i: fd_kstep_rec_padded(
+                 p, pp, v2m, mr, mz, i, amp, cx, cz, 8, nxe, nze, 4,
+                 column_inj=column_inj, win0=win0, tile_rows=tr),
+             p, p, p, mrow, mzp, inj)
