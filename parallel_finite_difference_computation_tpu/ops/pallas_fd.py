@@ -195,15 +195,39 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
         return lambda s: lap_in_kernel(s, cz, cx, order)
     sf_ref, sm_ref, sl_ref = mxu_refs
     h = order // 2
+    import os
+    z_slice = os.environ.get("PFDC_MXU_ZTAPS", "roll") == "slice"
+
+    def _accz_roll(s):
+        """z (sublane) taps via static rolls: wrapped border rows are
+        garbage, killed by the caller's premasked ``v2`` operand."""
+        acc = None
+        for k in range(h, 0, -1):
+            term = cz[h + k] * (jnp.roll(s, k, 0) + jnp.roll(s, -k, 0))
+            acc = term if acc is None else acc + term
+        return acc + cz[h] * s
+
+    def _accz_slice(s):
+        """z taps via interior slices + sublane pad: identical operand
+        values and association order on the interior rows (zero instead
+        of wrapped garbage on the h border rows — equivalent after the
+        v2 premask), traded against the roll lowering purely on measured
+        Mosaic cost (slices are offset reads; sublane rolls are real
+        rotate ops)."""
+        nzd, wp = s.shape
+        acc = None
+        for k in range(h, 0, -1):
+            zm = jax.lax.slice(s, (h - k, 0), (nzd - h - k, wp))
+            zp = jax.lax.slice(s, (h + k, 0), (nzd - h + k, wp))
+            term = cz[h + k] * (zm + zp)
+            acc = term if acc is None else acc + term
+        acc = acc + cz[h] * jax.lax.slice(s, (h, 0), (nzd - h, wp))
+        return jnp.pad(acc, ((h, h), (0, 0)))
 
     def lap(s):
         from .pallas_stencil import mm_banded, split_lhs
         nzd, wp = s.shape
-        accz = None
-        for k in range(h, 0, -1):
-            term = cz[h + k] * (jnp.roll(s, k, 0) + jnp.roll(s, -k, 0))
-            accz = term if accz is None else accz + term
-        accz = accz + cz[h] * s
+        accz = _accz_slice(s) if z_slice else _accz_roll(s)
         p = sf_ref.shape[-1] // 128
         splits = split_lhs(s, p)
 
