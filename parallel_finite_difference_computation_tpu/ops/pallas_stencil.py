@@ -288,12 +288,26 @@ def split_hi_lo(s):
 def split_lhs(a, parts: int = 2):
     """In-kernel residual split of a float32 operand into ``parts``
     bfloat16 arrays (hi first), the lhs counterpart of
-    :func:`split_stack`."""
+    :func:`split_stack`.
+
+    The residual is computed via :func:`jax.lax.reduce_precision`
+    (round to bf16 precision, *stay* float32) rather than an
+    f32->bf16->f32 astype round-trip: XLA's excess-precision folding
+    (default-on for the TPU backend, where the pallas interpret path
+    runs the kernel body) may collapse ``upcast(downcast(r))`` back to
+    ``r``, turning the residual — and with it every lo correction term
+    of the multi-pass product — into exact zero (observed as ~1e-3
+    errors in the interpret-on-TPU test lane; compiled Mosaic was never
+    affected). ``reduce_precision`` uses the same round-to-nearest-even
+    as the convert, so the split values are bit-identical; the final
+    downcast of an already-bf16-representable value is exact and safe
+    to fold."""
     out, r = [], a
     for _ in range(parts):
-        hi = r.astype(jnp.bfloat16)
-        out.append(hi)
-        r = r - hi.astype(jnp.float32)
+        hi_f32 = jax.lax.reduce_precision(r, exponent_bits=8,
+                                          mantissa_bits=7)
+        out.append(hi_f32.astype(jnp.bfloat16))
+        r = r - hi_f32
     return tuple(out)
 
 
