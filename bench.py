@@ -503,7 +503,7 @@ def bench_stencil_padded(n: int = 8192, repeats: int = 16, tile_rows: int = 64,
 
 
 def bench_pluto_modeling(nt: int = 400, block_k: int = 1,
-                         tile_rows: int = 64):
+                         tile_rows: int = 64, lap_impl=None):
     """Forward modeling at the reference's full-resolution Pluto dims
     (1201x6960, ``build/pluto/input.orig``; its velocity blob is gitignored
     upstream, so the model is synthetic): the fused HBM-streaming step
@@ -526,7 +526,8 @@ def bench_pluto_modeling(nt: int = 400, block_k: int = 1,
 
     fn = lambda w, v: forward_modeling_tiled(ctx, v, w, 2740, 40, 40,
                                              tile_rows=tile_rows,
-                                             block_k=block_k)[2]
+                                             block_k=block_k,
+                                             lap_impl=lap_impl)[2]
     make = lambda i: (jnp.asarray(wav * (1 + 1e-6 * i)),
                       jnp.asarray(v2 * (1 + 1e-7 * abs(i))))
     t = _prof_timeit(make, fn, warmup=2, iters=3) / nt
@@ -572,8 +573,23 @@ def bench_pluto_rtm(nt: int = 400, block_k: int = 1, tile_rows: int = 256,
 # GCell/s across sessions — the floor catches real regressions, not
 # session variance). A violation still prints the JSON line, then exits 1.
 FLOOR_RTM_PALLAS_S = 0.012
+FLOOR_RTM_MXU_S = 0.012
 FLOOR_STENCIL_GCELL = 12.0
 GATE_REL_RMS = 1e-4
+
+
+def _previous_record():
+    """The committed BENCH_DETAILS.json, or {}. Used to hold the run to
+    its own history: if the tier recorded as the committed headline
+    errors or regresses past its floor in this run, that is a floor
+    violation (exit 1), not a silent fallback — the round-3 lesson,
+    where the committed MXU headline died of a toolchain change and the
+    one-line headline quietly regressed 30% to the VPU tier."""
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            return json.load(f)
+    except Exception:
+        return {}
 
 
 def main():
@@ -598,6 +614,8 @@ def _main_body():
     dev = jax.devices()[0]
     details = {"device": str(dev), "platform": dev.platform}
     floors = []
+    prev_record = _previous_record()
+    prev_headline = prev_record.get("rtm_headline_impl")
 
     t_rtm, rel = bench_rtm()
     details["rtm_3lay_lax_s_per_shot"] = t_rtm
@@ -686,11 +704,21 @@ def _main_body():
                 details["rtm_3lay_mxu_s_per_shot_slope"] = slope_mxu
                 details["rtm_mxu_gcell_updates_per_s_slope"] = (
                     cells / slope_mxu / 1e9)
+            if t_mxu8 > FLOOR_RTM_MXU_S:
+                floors.append(f"rtm mxu {t_mxu8:.4f}s > {FLOOR_RTM_MXU_S}")
+            if rel_mxu > GATE_REL_RMS and prev_headline == "mxu":
+                floors.append(
+                    f"committed headline tier mxu off its accuracy gate: "
+                    f"rel_rms {rel_mxu:.2e} > {GATE_REL_RMS}")
             if rel_mxu <= GATE_REL_RMS and t_mxu8 < t_headline:
                 t_headline = t_mxu8
                 details["rtm_headline_impl"] = "mxu"
         except Exception as e:
             details["rtm_3lay_mxu_error"] = str(e)[:200]
+            if prev_headline == "mxu":
+                # the committed headline tier must not die silently
+                floors.append("committed headline tier mxu errored: "
+                              + str(e)[:120])
         try:
             # 6-pass triple-split accuracy tier (lap_impl="mxu6"):
             # ~f32-level per apply — the fast path for long-nt configs
@@ -804,17 +832,9 @@ def _main_body():
         except Exception as e:
             details["modeling_pluto_scale_error"] = str(e)[:200]
         try:
-            # the beyond-VMEM streaming tier's MXU fast path (the tiled
-            # driver resolves PFDC_LAP_IMPL at trace time)
-            old_lap = os.environ.get("PFDC_LAP_IMPL")
-            os.environ["PFDC_LAP_IMPL"] = "mxu"
-            try:
-                ms, gc = bench_pluto_modeling()
-            finally:
-                if old_lap is None:
-                    os.environ.pop("PFDC_LAP_IMPL", None)
-                else:
-                    os.environ["PFDC_LAP_IMPL"] = old_lap
+            # the beyond-VMEM streaming tier's MXU fast path (explicit
+            # lap_impl kwarg — never a trace-time env read)
+            ms, gc = bench_pluto_modeling(lap_impl="mxu")
             details["modeling_pluto_scale_mxu_ms_per_step"] = ms
             details["modeling_pluto_scale_mxu_gcell_per_s"] = gc
         except Exception as e:
@@ -832,15 +852,8 @@ def _main_body():
             # ... and its MXU z-tap variant (the streaming tier's fastest
             # path: temporal blocking removes the DMA bound that made the
             # per-step MXU variant a 1.06x wash)
-            old_lap = os.environ.get("PFDC_LAP_IMPL")
-            os.environ["PFDC_LAP_IMPL"] = "mxu"
-            try:
-                ms, gc = bench_pluto_modeling(block_k=4, tile_rows=256)
-            finally:
-                if old_lap is None:
-                    os.environ.pop("PFDC_LAP_IMPL", None)
-                else:
-                    os.environ["PFDC_LAP_IMPL"] = old_lap
+            ms, gc = bench_pluto_modeling(block_k=4, tile_rows=256,
+                                          lap_impl="mxu")
             details["modeling_pluto_scale_kstep4_mxu_ms_per_step"] = ms
             details["modeling_pluto_scale_kstep4_mxu_gcell_per_s"] = gc
         except Exception as e:
@@ -900,16 +913,17 @@ def _main_body():
     else:
         # preserve the full-bench-only entries from the previous record
         # (the marmousi whole-shot kernel compile takes many minutes and
-        # only reruns with PFDC_BENCH_FULL=1)
-        try:
-            with open("BENCH_DETAILS.json") as f:
-                prev = json.load(f)
-            for k, v in prev.items():
-                if k.startswith(("rtm_marmousi_pallas",
-                                 "rtm_marmousi_mxu6")):
-                    details[k] = v
-        except Exception:
-            pass
+        # only reruns with PFDC_BENCH_FULL=1) — and SAY SO: a carried
+        # number must never read as a fresh measurement (the round-3
+        # marmousi-mxu6 anomaly, where a carried entry looked like the
+        # one MXU success in a run whose MXU tier was dead)
+        carried = []
+        for k, v in prev_record.items():
+            if k.startswith(("rtm_marmousi_pallas", "rtm_marmousi_mxu6")):
+                details[k] = v
+                carried.append(k)
+        if carried:
+            details["entries_carried_from_previous_record"] = carried
 
     details["floor_violations"] = floors
     # a PFDC_BENCH_PLATFORM=cpu smoke run must not clobber the recorded

@@ -71,7 +71,8 @@ def cmd_mod(args):
     out = args.output or p.datfile or "dobs.bin"
     t0 = time.time()
     data = pipeline.run_modeling(p, out_datfile=out, backend=args.backend,
-                                 mesh=_mesh_from_args(args))
+                                 mesh=_mesh_from_args(args),
+                                 lap_impl=args.lap_impl)
     print(f"> Exec time = {time.time() - t0:.2f} (s)")
     print(f"wrote {data.shape} shot gathers to {out}")
 
@@ -112,7 +113,7 @@ def cmd_rtm_gpu(args):
         img, imlocs = pipeline.run_rtm_gpu(
             p, seed=args.seed, outdir=outdir,
             write_image_num=args.image_num, backend=args.backend,
-            mesh=_mesh_from_args(args))
+            mesh=_mesh_from_args(args), lap_impl=args.lap_impl)
     print(f"> Exec time = {time.time() - t0:.2f} (s)")
     print(f"wrote dir.image to {outdir}"
           + (" (+ image.num)" if args.image_num else ""))
@@ -161,6 +162,15 @@ def main(argv=None):
         if needs_backend:
             s.add_argument("--backend", default="auto",
                            choices=["auto", "lax", "pallas"])
+        if name in ("mod", "rtm_gpu"):
+            s.add_argument("--lap-impl", default=None, dest="lap_impl",
+                           choices=["auto", "vpu", "mxu", "mxu6"],
+                           help="Pallas Laplacian lowering: exact VPU "
+                                "taps (default), multi-pass bf16 MXU "
+                                "(mxu: 3-pass speed tier, mxu6: 6-pass "
+                                "accuracy tier), or auto (route by the "
+                                "measured accuracy envelope; warns on "
+                                "explicit mxu outside it)")
         if name == "rtm_gpu":
             s.add_argument("--seed", type=int, default=0)
             s.add_argument("--image-num", action="store_true",

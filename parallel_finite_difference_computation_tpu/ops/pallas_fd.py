@@ -147,17 +147,75 @@ def _v2_operand(ctx: FDContext, v2):
     return jnp.transpose(v2) * jnp.asarray(m * np.float32(ctx.dt2))
 
 
-def _use_mxu_lap(lap_impl) -> int:
+# Measured error-growth envelope of the multi-pass bf16 MXU Laplacian
+# tiers (validate 6d rows; docs/PALLAS_NOTES.md "Measured accuracy
+# envelope"), the data behind lap_impl="auto" routing:
+#   3-pass ("mxu", ~4e-6 rel/apply): 3lay (nt=1001, dx==dz) drifts
+#     2.1e-5 vs the C oracle over the full shot — PASS at 1e-4; on
+#     marmousi (nt=3004, dz=8 != dx=25, dt at the CFL edge for the fine
+#     axis) per-step rounding amplifies to 2.4e-3 — FAIL.
+#   6-pass ("mxu6", ~1.3e-7 rel/apply): marmousi full config 4.0e-6 —
+#     PASS, indistinguishable from the exact kernel's 4.1e-6.
+# Headroom: ~1.5x the validated nt for each tier; longer runs fall back
+# to the exact (bit-identical-to-lax) VPU taps.
+MXU3_NT_MAX = 1500
+MXU6_NT_MAX = 4500
+
+
+def _mxu3_in_envelope(ctx: FDContext) -> bool:
+    """Whether the 3-pass MXU tier's validated accuracy envelope covers
+    this config: short-nt AND an isotropic grid (dx == dz — detected via
+    the premultiplied center coefficients; anisotropy with a fine axis
+    puts dt at the CFL edge, where per-step rounding compounds
+    exponentially — the measured marmousi failure mode)."""
+    h = ctx.order // 2
+    isotropic = float(ctx.coefs_x[h]) == float(ctx.coefs_z[h])
+    return ctx.nt <= MXU3_NT_MAX and isotropic
+
+
+def resolve_lap_impl(ctx: FDContext, lap_impl):
+    """Resolve ``lap_impl="auto"`` against the measured accuracy envelope
+    (module constants above): the 3-pass MXU speed tier where its drift
+    is validated under 1e-4, the 6-pass accuracy tier for long-nt /
+    CFL-edge (marmousi-class) configs, the exact VPU taps beyond the
+    validated range. An *explicit* ``"mxu"`` outside its envelope is
+    honored but warns — the user is asking for a tier whose error was
+    measured past the 1e-4 bar on configs like this one."""
+    if lap_impl == "auto":
+        if _mxu3_in_envelope(ctx):
+            return "mxu"
+        if ctx.nt <= MXU6_NT_MAX:
+            return "mxu6"
+        return "vpu"
+    if lap_impl == "mxu" and not _mxu3_in_envelope(ctx):
+        import warnings
+        warnings.warn(
+            f"lap_impl='mxu' outside its validated accuracy envelope "
+            f"(nt={ctx.nt}, isotropic grid required, nt <= {MXU3_NT_MAX}):"
+            f" measured 2.4e-3 image drift on marmousi-class configs. Use"
+            f" lap_impl='mxu6' (validated 4.0e-6) or 'auto'.",
+            stacklevel=3)
+    return lap_impl
+
+
+def _use_mxu_lap(lap_impl, ctx: FDContext = None) -> int:
     """Resolve the whole-shot kernels' Laplacian lowering: ``lap_impl`` is
-    an explicit ``"mxu"``/``"mxu6"``/``"vpu"`` override, or None to read
-    ``PFDC_LAP_IMPL`` (``mxu`` selects the 3-pass MXU path, ``mxu6`` the
-    6-pass triple-split one; ``padded``/``roll`` keep the exact VPU taps
-    and choose their lowering inside :func:`..stencil.lap_in_kernel`).
-    Returns the number of bf16 residual splits (0 = VPU, 2 = 3-pass,
-    3 = 6-pass) — truthy exactly when the MXU path is selected."""
+    an explicit ``"mxu"``/``"mxu6"``/``"vpu"`` override, ``"auto"`` to
+    route by the measured accuracy envelope (:func:`resolve_lap_impl`;
+    requires ``ctx``), or None to read ``PFDC_LAP_IMPL`` (``mxu``
+    selects the 3-pass MXU path, ``mxu6`` the 6-pass triple-split one;
+    ``padded``/``roll`` keep the exact VPU taps and choose their
+    lowering inside :func:`..stencil.lap_in_kernel`). Returns the number
+    of bf16 residual splits (0 = VPU, 2 = 3-pass, 3 = 6-pass) — truthy
+    exactly when the MXU path is selected."""
     import os
     if lap_impl is None:
         lap_impl = os.environ.get("PFDC_LAP_IMPL", "padded")
+    if ctx is not None:
+        lap_impl = resolve_lap_impl(ctx, lap_impl)
+    elif lap_impl == "auto":
+        raise ValueError("lap_impl='auto' needs the FDContext to route "
+                         "by nt/grid — pass ctx to _use_mxu_lap")
     return {"mxu": 2, "mxu6": 3}.get(lap_impl, 0)
 
 
@@ -177,7 +235,7 @@ def _mxu_band_inputs(ctx: FDContext, wp: int, parts: int = 2):
                  for s in band_matrices(cx, ctx.order // 2, wp))
 
 
-def _make_lap(ctx: FDContext, mxu_refs=None):
+def _make_lap(ctx: FDContext, mxu_refs=None, z_taps: str = "roll"):
     """In-kernel Laplacian closure for the z-major whole-shot kernels.
 
     With ``mxu_refs=None``: the exact VPU taps (:func:`..stencil.
@@ -188,15 +246,20 @@ def _make_lap(ctx: FDContext, mxu_refs=None):
     block matmuls on the otherwise-idle MXU in manual 3-pass bf16
     precision (~5e-6 rel error per apply — see PALLAS_NOTES "z-taps on
     the MXU"; here the roles of z and x swap because these kernels are
-    z-major)."""
+    z-major).
+
+    ``z_taps`` selects the z sublane-tap lowering on the MXU path:
+    ``"roll"`` (shipping) or ``"slice"`` (recorded ~3% slower negative,
+    scripts/exp_mxu_zslice.py). Explicit argument — never an environment
+    read: this closure runs at trace time, and a trace-time env read is
+    invisible to the jit cache key (the round-3 footgun class)."""
     cz, cx = _coefs(ctx)
     order = ctx.order
     if mxu_refs is None:
         return lambda s: lap_in_kernel(s, cz, cx, order)
     sf_ref, sm_ref, sl_ref = mxu_refs
     h = order // 2
-    import os
-    z_slice = os.environ.get("PFDC_MXU_ZTAPS", "roll") == "slice"
+    z_slice = z_taps == "slice"
 
     def _accz_roll(s):
         """z (sublane) taps via static rolls: wrapped border rows are
@@ -330,7 +393,7 @@ def _src_rows(ctx: FDContext, sx, gaussian: bool) -> jnp.ndarray:
 # ==========================================================================
 
 def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
-                    use_mxu: bool,
+                    use_mxu: bool, z_taps: str,
                     v2_ref, mask_ref, wav_ref, src_ref, *rest):
     """One shot of mod_main's time loop (``mod_main.cpp:146-168``), z-major.
     Buffer roles alternate per step: even it updates B from A and records A;
@@ -341,7 +404,7 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
         mxu_refs = None
     seis_ref, pout_ref, ppout_ref, A, B = rest
     nt = ctx.nt
-    lap = _make_lap(ctx, mxu_refs)
+    lap = _make_lap(ctx, mxu_refs, z_taps)
 
     def step(src_buf, dst_buf, it):
         """update dst from src; inject; taper both; record row gz of src.
@@ -382,7 +445,8 @@ def _fwd_mod_kernel(ctx: FDContext, gz: int, sz: int, r: int,
 
 def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
                             source: str = "gaussian", taper: str = "all",
-                            interpret: bool = False, lap_impl=None):
+                            interpret: bool = False, lap_impl=None,
+                            z_taps: str = "roll"):
     """VMEM-resident forward modeling. Returns ``(p, pp, seis)`` with seis
     shaped (nt, nx) — identical contract to
     ``solver.forward_modeling(..., record='trace')``.
@@ -393,7 +457,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
     """
     gaussian = source == "gaussian"
     r = ctx.source_patch.shape[0] // 2 if gaussian else 0
-    use_mxu = _use_mxu_lap(lap_impl)
+    use_mxu = _use_mxu_lap(lap_impl, ctx)
     wp = -(-ctx.nxe // 128) * 128 if use_mxu else ctx.nxe
     mask = jnp.asarray(ctx.mask_all if taper == "all" else ctx.mask_top).T
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian)
@@ -405,7 +469,8 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
         v2m = _pad_lanes(v2m, wp)
         extra = list(_mxu_band_inputs(ctx, wp, use_mxu))
 
-    kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r, use_mxu)
+    kern = functools.partial(_fwd_mod_kernel, ctx, gz, sz, r, use_mxu,
+                             z_taps)
     out_shape = (
         jax.ShapeDtypeStruct((ctx.nt, ctx.nx), jnp.float32),    # seis (t, x)
         jax.ShapeDtypeStruct((ctx.nze, wp), jnp.float32),       # p
@@ -439,7 +504,7 @@ def forward_modeling_pallas(ctx: FDContext, v2, wavelet, sx, sz: int, gz: int,
 # ==========================================================================
 
 def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
-                use_mxu: bool,
+                use_mxu: bool, z_taps: str,
                 v2_ref, mask_ref, wav_ref, src_ref, dobs_ref,
                 *rest):
     """fd_forward + fd_back in one kernel, z-major.
@@ -461,7 +526,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
         mxu_refs = None
     imloc_ref, A, B, C, D = rest
     nt = ctx.nt
-    lap = _make_lap(ctx, mxu_refs)
+    lap = _make_lap(ctx, mxu_refs, z_taps)
 
     def leap(dst, src):
         s = src[:, :]
@@ -534,7 +599,8 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
 
 
 def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
-                        gz: int, interpret: bool = False, lap_impl=None):
+                        gz: int, interpret: bool = False, lap_impl=None,
+                        z_taps: str = "roll"):
     """Whole-shot two-snapshot RTM in a single Pallas kernel.
 
     Args match ``solver.rtm_shot_snapshot``: ``dobs`` is (nx, nt) observed
@@ -550,7 +616,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
     marmousi where 3-pass rounding amplifies past 1e-4).
     """
     mask_np = np.transpose(np.asarray(ctx.mask_top))
-    use_mxu = _use_mxu_lap(lap_impl)
+    use_mxu = _use_mxu_lap(lap_impl, ctx)
     wp = -(-ctx.nxe // 128) * 128 if use_mxu else ctx.nxe
     mask = jnp.asarray(mask_np)
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
@@ -567,7 +633,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
         extra = list(_mxu_band_inputs(ctx, wp, use_mxu))
 
     kern = functools.partial(_rtm_kernel, ctx, gz, sz,
-                             _taper_rows(ctx, mask_np), use_mxu)
+                             _taper_rows(ctx, mask_np), use_mxu, z_taps)
     imloc_ext = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ctx.nze, wp), jnp.float32),

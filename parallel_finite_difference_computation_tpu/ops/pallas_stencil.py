@@ -285,27 +285,43 @@ def split_hi_lo(s):
     return split_stack(s, 2)
 
 
+def _round_bf16_f32(r):
+    """Round ``r`` (f32) to the nearest bfloat16 value, *staying* f32,
+    via integer bit manipulation: bitcast to uint32, add the
+    round-to-nearest-even increment ``0x7FFF + lsb-of-kept-mantissa``,
+    mask the low 16 bits, bitcast back.  Bit-identical to the f32->bf16
+    RNE convert for all non-NaN inputs (overflow to the next binade /
+    inf is the correct RNE carry).
+
+    Why not ``reduce_precision`` or an astype round-trip: the current
+    Pallas/Mosaic TPU lowering has no rule for ``reduce_precision``
+    inside a kernel body (``Unimplemented primitive ... KernelType.TC:
+    reduce_precision`` — this killed every compiled MXU kernel in the
+    round-3 bench), and the astype round-trip ``upcast(downcast(r))``
+    can be collapsed back to ``r`` by XLA's excess-precision folding on
+    the interpret-on-TPU path (measured ~1e-3 image error when the
+    residual folds to zero).  The integer form lowers everywhere and is
+    opaque to both rewrites."""
+    u = jax.lax.bitcast_convert_type(r, jnp.uint32)
+    u = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
 def split_lhs(a, parts: int = 2):
     """In-kernel residual split of a float32 operand into ``parts``
     bfloat16 arrays (hi first), the lhs counterpart of
     :func:`split_stack`.
 
-    The residual is computed via :func:`jax.lax.reduce_precision`
-    (round to bf16 precision, *stay* float32) rather than an
-    f32->bf16->f32 astype round-trip: XLA's excess-precision folding
-    (default-on for the TPU backend, where the pallas interpret path
-    runs the kernel body) may collapse ``upcast(downcast(r))`` back to
-    ``r``, turning the residual — and with it every lo correction term
-    of the multi-pass product — into exact zero (observed as ~1e-3
-    errors in the interpret-on-TPU test lane; compiled Mosaic was never
-    affected). ``reduce_precision`` uses the same round-to-nearest-even
-    as the convert, so the split values are bit-identical; the final
-    downcast of an already-bf16-representable value is exact and safe
-    to fold."""
+    The per-level rounding is the bitwise RNE of :func:`_round_bf16_f32`
+    — see there for why neither ``reduce_precision`` (no Mosaic kernel
+    lowering) nor an astype round-trip (excess-precision folding hazard
+    on the interpret path) can be used.  The split values are
+    bit-identical to the f32->bf16 convert; the final downcast of an
+    already-bf16-representable value is exact and safe to fold."""
     out, r = [], a
     for _ in range(parts):
-        hi_f32 = jax.lax.reduce_precision(r, exponent_bits=8,
-                                          mantissa_bits=7)
+        hi_f32 = _round_bf16_f32(r)
         out.append(hi_f32.astype(jnp.bfloat16))
         r = r - hi_f32
     return tuple(out)

@@ -248,7 +248,7 @@ def make_sharded_forward_modeling_pallas(ctx: FDContext, mesh: Mesh,
             f"halo width K*h={H} exceeds the local slab width nxl={nxl}; "
             f"lower block_k to <= {nxl // h} or use fewer x shards")
     nxw = nxl + 2 * H
-    use_mxu = _use_mxu_lap(lap_impl)
+    use_mxu = _use_mxu_lap(lap_impl, ctx)
     nxww = -(-nxw // 128) * 128 if use_mxu else nxw
     mxu_in = list(_mxu_band_inputs(ctx, nxww, use_mxu)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)
@@ -380,7 +380,7 @@ def make_sharded_rtm_snapshot_pallas(ctx: FDContext, mesh: Mesh, sz: int,
         raise ValueError(f"nt={ctx.nt} < 2*block_k={2 * K}; use the lax "
                          f"path (make_sharded_rtm_snapshot) for tiny runs")
     nxw = nxl + 2 * H
-    use_mxu = _use_mxu_lap(lap_impl)
+    use_mxu = _use_mxu_lap(lap_impl, ctx)
     nxww = -(-nxw // 128) * 128 if use_mxu else nxw
     mxu_in = list(_mxu_band_inputs(ctx, nxww, use_mxu)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)

@@ -42,7 +42,7 @@ def distribute_shots(mesh: Mesh, *arrays):
 
 
 def make_sharded_rtm_pallas(ctx, mesh: Mesh, sz: int, gz: int,
-                            interpret: bool = False):
+                            interpret: bool = False, lap_impl=None):
     """Shot-sharded whole-shot Pallas RTM — the production multi-chip path:
     each device runs the VMEM-resident two-snapshot RTM kernel
     (:func:`..ops.pallas_fd.rtm_snapshot_pallas`) over its local slice of
@@ -58,7 +58,8 @@ def make_sharded_rtm_pallas(ctx, mesh: Mesh, sz: int, gz: int,
     def body(v2, dobs, sxs, wavelet):
         return jax.lax.map(
             lambda a: rtm_snapshot_pallas(ctx, a[0], wavelet, a[1], a[2],
-                                          sz, gz, interpret=interpret),
+                                          sz, gz, interpret=interpret,
+                                          lap_impl=lap_impl),
             (v2, dobs, sxs))
 
     sharded = jax.shard_map(
@@ -71,7 +72,7 @@ def make_sharded_rtm_pallas(ctx, mesh: Mesh, sz: int, gz: int,
 
 
 def make_sharded_modeling_pallas(ctx, mesh: Mesh, sz: int, gz: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False, lap_impl=None):
     """Shot-sharded whole-shot Pallas forward modeling: each device runs
     the VMEM-resident fused kernel
     (:func:`..ops.pallas_fd.forward_modeling_pallas`) over its local
@@ -84,7 +85,7 @@ def make_sharded_modeling_pallas(ctx, mesh: Mesh, sz: int, gz: int,
         return jax.lax.map(
             lambda sx: forward_modeling_pallas(
                 ctx, v2, wavelet, sx, sz, gz, source="gaussian",
-                taper="all", interpret=interpret)[2],
+                taper="all", interpret=interpret, lap_impl=lap_impl)[2],
             sxs)
 
     sharded = jax.shard_map(
@@ -98,7 +99,7 @@ def make_sharded_modeling_pallas(ctx, mesh: Mesh, sz: int, gz: int,
 
 def make_sharded_modeling_tiled(ctx, mesh: Mesh, sz: int, gz: int,
                                 tile_rows: int = 256, block_k: int = 4,
-                                interpret: bool = False):
+                                interpret: bool = False, lap_impl=None):
     """Shot-sharded beyond-VMEM forward modeling: each device streams its
     local shots through the temporally-blocked HBM kernels
     (:func:`...solver.forward_modeling_tiled`, K fused steps per pass) —
@@ -112,7 +113,7 @@ def make_sharded_modeling_tiled(ctx, mesh: Mesh, sz: int, gz: int,
             lambda sx: forward_modeling_tiled(
                 ctx, v2, wavelet, sx, sz, gz, source="gaussian",
                 tile_rows=tile_rows, block_k=block_k,
-                interpret=interpret)[2],
+                interpret=interpret, lap_impl=lap_impl)[2],
             sxs)
 
     sharded = jax.shard_map(
@@ -126,7 +127,7 @@ def make_sharded_modeling_tiled(ctx, mesh: Mesh, sz: int, gz: int,
 
 def make_sharded_rtm_tiled(ctx, mesh: Mesh, sz: int, gz: int,
                            tile_rows: int = 256, block_k: int = 4,
-                           interpret: bool = False):
+                           interpret: bool = False, lap_impl=None):
     """Shot-sharded beyond-VMEM two-snapshot RTM: each device runs its
     local shots through the temporally-blocked streaming kernels
     (:func:`...solver.rtm_shot_snapshot_tiled` — 2x the per-step tier at
@@ -140,7 +141,7 @@ def make_sharded_rtm_tiled(ctx, mesh: Mesh, sz: int, gz: int,
             lambda a: rtm_shot_snapshot_tiled(
                 ctx, a[0], wavelet, a[1], a[2], sz, gz,
                 tile_rows=tile_rows, block_k=block_k,
-                interpret=interpret),
+                interpret=interpret, lap_impl=lap_impl),
             (v2, dobs, sxs))
 
     sharded = jax.shard_map(

@@ -150,14 +150,21 @@ def run_stencil(p: Params, input_path: Optional[str] = None,
 
 def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                  out_datfile: Optional[str] = None,
-                 backend: str = "auto", mesh=None) -> np.ndarray:
+                 backend: str = "auto", mesh=None,
+                 lap_impl=None) -> np.ndarray:
     """``mod_main``: model all shots, return (ns, nx, nt) gathers and
     optionally write the raw ``datfile`` blob the RTM programs read.
 
     With a (shot, x) ``mesh``, shots shard over ``shot`` and the grid
     decomposes over ``x`` using the blocked halo-exchange Pallas kernels
     (lax formulation as fallback); a (shot, x, z) mesh decomposes both
-    grid axes (:mod:`.parallel.domain2d`)."""
+    grid axes (:mod:`.parallel.domain2d`).
+
+    ``lap_impl`` selects the Pallas tiers' Laplacian lowering
+    (exact VPU default; ``"mxu"``/``"mxu6"`` multi-pass bf16 MXU;
+    ``"auto"`` routes by the measured accuracy envelope —
+    :func:`.ops.pallas_fd.resolve_lap_impl`). The lax fallback is always
+    exact."""
     if vp is None:
         vp = io.read_velocity(p.vpfile, p.nx, p.nz)
     vel2 = jnp.asarray(prepare_velocity_cpu(p, vp))
@@ -169,7 +176,7 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
 
     if mesh is not None and _mesh_decomposes_grid(mesh):
         return _run_modeling_domain(p, ctx, g, wav, vel2, mesh, backend,
-                                    out_datfile)
+                                    out_datfile, lap_impl=lap_impl)
 
     run_pallas = run_tiled = None
     if _use_pallas(backend):
@@ -177,7 +184,8 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
         run_pallas = jax.jit(lambda sxs: jax.lax.map(
             lambda sx: forward_modeling_pallas(
                 ctx, vel2, wav, sx, g.sz, g.gz,
-                source="gaussian", taper="all")[2], sxs))
+                source="gaussian", taper="all",
+                lap_impl=lap_impl)[2], sxs))
         # middle tier for grids beyond VMEM (e.g. pluto-resolution): the
         # temporal-blocked HBM-streaming kernel (K=4 fused steps per HBM
         # pass, 23.3 vs 19.1 GCell/s per-step at 6960x1201; ~4.3x the lax
@@ -189,7 +197,7 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
             lambda sx: forward_modeling_tiled(
                 ctx, vel2, wav, sx, g.sz, g.gz,
                 source="gaussian", tile_rows=tr_tile,
-                block_k=min(4, ctx.nt))[2], sxs))
+                block_k=min(4, ctx.nt), lap_impl=lap_impl)[2], sxs))
     run_lax = jax.vmap(
         lambda sx: forward_modeling(ctx, vel2, wav, sx, g.sz, g.gz,
                                     source="gaussian", taper="all",
@@ -209,11 +217,12 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
         if _use_pallas(backend):
             from .parallel.shots import (make_sharded_modeling_pallas,
                                          make_sharded_modeling_tiled)
-            _sh_ws = make_sharded_modeling_pallas(ctx, mesh, g.sz, g.gz)
+            _sh_ws = make_sharded_modeling_pallas(ctx, mesh, g.sz, g.gz,
+                                                  lap_impl=lap_impl)
             _sh_t = make_sharded_modeling_tiled(
                 ctx, mesh, g.sz, g.gz,
                 tile_rows=256 if ctx.nxe >= 2048 else 64,
-                block_k=min(4, ctx.nt))
+                block_k=min(4, ctx.nt), lap_impl=lap_impl)
             run_pallas = lambda sxs: _sh_ws(vel2, sxs, wav)
             run_tiled = lambda sxs: _sh_t(vel2, sxs, wav)
     seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend,
@@ -231,7 +240,7 @@ def _mesh_decomposes_grid(mesh) -> bool:
 
 
 def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
-                         out_datfile):
+                         out_datfile, lap_impl=None):
     """Domain-decomposed forward modeling over a (shot, x[, z]) mesh."""
     from .parallel.domain import make_sharded_forward_modeling
     from .parallel.domain2d import make_sharded_forward_modeling_2d
@@ -256,7 +265,7 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
         block_k = max(1, min(8, (ctx.nxe // n_x) // h, ctx.nt))
         fn_pl = make_sharded_forward_modeling_pallas(
             ctx, mesh, g.sz, g.gz, source="gaussian", taper="all",
-            block_k=block_k)
+            block_k=block_k, lap_impl=lap_impl)
         run_pallas = lambda: fn_pl(v_pad, sx_pad, wav)
     if n_z > 1:
         fn_lax = make_sharded_forward_modeling_2d(
@@ -446,7 +455,7 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                 dobs: Optional[np.ndarray] = None,
                 seed: int = 0, outdir: Optional[str] = None,
                 write_image_num: bool = False, backend: str = "auto",
-                mesh=None, shot_indices=None):
+                mesh=None, shot_indices=None, lap_impl=None):
     """``rtm_code``: two-snapshot RTM over all shots with random (or
     file-loaded) boundary velocities.
 
@@ -479,7 +488,8 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
         # grid decomposed over the mesh's x (and optionally z) axis (plus
         # shot sharding): the domain division the reference only named
         img, imlocs = _run_rtm_gpu_domain(p, ctx, g, wav, vel2, dobs_sel,
-                                          mesh, backend, sx_sel)
+                                          mesh, backend, sx_sel,
+                                          lap_impl=lap_impl)
         _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num)
         return img, imlocs
 
@@ -491,12 +501,13 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
         # fall through to the sharded temporally-blocked streaming tier
         from .parallel.shots import (make_sharded_rtm_pallas,
                                      make_sharded_rtm_tiled)
-        _sharded = make_sharded_rtm_pallas(ctx, mesh, g.sz, g.gz)
+        _sharded = make_sharded_rtm_pallas(ctx, mesh, g.sz, g.gz,
+                                           lap_impl=lap_impl)
         run_pallas = lambda v2, sxs, d: _sharded(v2, d, sxs, wav)
         _sharded_t = make_sharded_rtm_tiled(
             ctx, mesh, g.sz, g.gz,
             tile_rows=256 if ctx.nxe >= 2048 else 64,
-            block_k=min(4, ctx.nt))
+            block_k=min(4, ctx.nt), lap_impl=lap_impl)
         run_split = [lambda v2, sxs, d: _sharded_t(v2, d, sxs, wav)]
     if _use_pallas(backend) and mesh is None:
         # lax.map batching: one Mosaic kernel compile for any shot count.
@@ -506,7 +517,8 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
                                     fd_back_pallas)
         run_pallas = jax.jit(lambda v2, sxs, d: jax.lax.map(
             lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1],
-                                             args[2], g.sz, g.gz),
+                                             args[2], g.sz, g.gz,
+                                             lap_impl=lap_impl),
             (v2, d, sxs)))
         run_split = jax.jit(lambda v2, sxs, d: jax.lax.map(
             lambda args: fd_back_pallas(
@@ -523,7 +535,8 @@ def run_rtm_gpu(p: Params, vp: Optional[np.ndarray] = None,
             lambda args: rtm_shot_snapshot_tiled(ctx, args[0], wav, args[1],
                                                  args[2], g.sz, g.gz,
                                                  tile_rows=tr_tile,
-                                                 block_k=min(4, ctx.nt)),
+                                                 block_k=min(4, ctx.nt),
+                                                 lap_impl=lap_impl),
             (v2, d, sxs)))
         run_split = [run_split, run_tiled]
     run_lax = jax.vmap(
@@ -561,7 +574,7 @@ def _write_rtm_gpu_outputs(outdir, img, imlocs, write_image_num):
 
 
 def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend,
-                        sx):
+                        sx, lap_impl=None):
     """x-domain-decomposed two-snapshot RTM over a (shot, x) mesh: every
     device computes an x-slab of the grid, exchanging order/2-wide halos
     over ICI — blocked VMEM-resident Pallas kernels
@@ -589,7 +602,8 @@ def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend,
         block_k = min(8, (ctx.nxe // n_x) // h, ctx.nt // 2)
         if block_k >= 2:  # K<2 cannot seed both snapshots; lax handles it
             fn_pl = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
-                                                     block_k=block_k)
+                                                     block_k=block_k,
+                                                     lap_impl=lap_impl)
             run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
     if n_z > 1:
         fn_lax = make_sharded_rtm_snapshot_2d(ctx, mesh, g.gz)

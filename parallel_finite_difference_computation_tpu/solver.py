@@ -211,6 +211,8 @@ def forward_modeling_tiled(ctx: FDContext, v2, wavelet, sx, sz, gz,
     """
     from .ops.pallas_stream import (fd_step_padded, padded_layout,
                                     to_padded, from_padded)
+    from .ops.pallas_fd import resolve_lap_impl
+    lap_impl = resolve_lap_impl(ctx, lap_impl)
     if record not in ("trace", "wavefield", "none"):
         raise ValueError(f"unknown record mode {record!r}")
     if block_k > 1:
@@ -370,6 +372,8 @@ def rtm_shot_snapshot_tiled(ctx: FDContext, v2, wavelet, dobs, sx, sz, gz,
     :func:`..ops.pallas_stream.fd_kstep_gpu_bwd_padded`): K fused steps
     per HBM pass — injection, taper, and the K6 image accumulation move
     in-kernel — breaking the per-step tier's DMA-bound ceiling."""
+    from .ops.pallas_fd import resolve_lap_impl
+    lap_impl = resolve_lap_impl(ctx, lap_impl)
     if block_k > 1:
         return _rtm_snapshot_kblocked(ctx, v2, wavelet, dobs, sx, sz, gz,
                                       tile_rows, interpret, block_k,
@@ -617,6 +621,8 @@ def backward_recorded_tiled(ctx: FDContext, v2, dobs, gz,
     (:func:`..ops.pallas_stream.fd_kstep_rec_padded` in column-injection
     mode — the K time-reversed trace rows pre-masked and packed into
     lanes [0, K); the K tapered frames written from VMEM)."""
+    from .ops.pallas_fd import resolve_lap_impl
+    lap_impl = resolve_lap_impl(ctx, lap_impl)
     from .ops.pallas_stream import (fd_step_padded, padded_layout,
                                     to_padded, from_padded)
     order = ctx.order

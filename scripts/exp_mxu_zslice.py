@@ -1,6 +1,6 @@
 """Measure the z (sublane) tap lowering inside the MXU whole-shot RTM
 kernel: static rolls (shipping) vs interior slices + sublane pad
-(PFDC_MXU_ZTAPS=slice). The padded slice lowering measured 1.28x the roll
+(z_taps="slice"). The padded slice lowering measured 1.28x the roll
 lowering on the all-VPU kernel (lane rolls cost rotate+select); this asks
 whether the same holds for the *sublane* rolls left on the VPU by the MXU
 lane-tap path — which is VPU-bound on its residual ops (measured ~103
@@ -52,14 +52,14 @@ def main():
     rms = np.sqrt(np.mean(im_lax ** 2))
 
     def run(ztaps, n_shots):
-        os.environ["PFDC_MXU_ZTAPS"] = ztaps
-        ctx = FDContext.from_params(p, exact_taper=False)  # fresh cache key
+        ctx = FDContext.from_params(p, exact_taper=False)
         d = jnp.broadcast_to(d0, (n_shots,) + d0.shape)
         sxs = jnp.full((n_shots,), g.sx[0], jnp.int32)
         fn = jax.jit(lambda v2s, d, sxs: jax.lax.map(
             lambda args: rtm_snapshot_pallas(ctx, args[0], wav, args[1],
                                              args[2], g.sz, g.gz,
-                                             lap_impl="mxu"),
+                                             lap_impl="mxu",
+                                             z_taps=ztaps),
             (v2s, d, sxs)))
         make = lambda i: (
             jnp.asarray(np.stack([base * (1 + 1e-7 * (i * n_shots + k))
@@ -83,7 +83,6 @@ def main():
                   f"{rel:.2e}", flush=True)
         except Exception as e:
             print(f"mxu z={ztaps}: FAILED {str(e)[:400]}", flush=True)
-    os.environ.pop("PFDC_MXU_ZTAPS", None)
     if len(imgs) == 2:
         d = np.max(np.abs(imgs["roll"] - imgs["slice"]))
         print(f"roll-vs-slice max abs diff: {d:.3e} "

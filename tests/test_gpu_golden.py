@@ -105,3 +105,18 @@ def test_order4_asymmetric_borders_full_config():
     assert rel_rms(np.asarray(img), golden) < GATE
     for i in range(p.ns):
         assert rel_rms(np.asarray(imlocs[i]), gims[i]) < GATE, i
+
+
+def test_output_dir_file_set_matches_reference_tmpdir(rtm_run):
+    """The output directory is file-for-file what a reference run leaves
+    in its tmpdir: dir.image, dir.image_lap (zeros — never filled,
+    fd-code.cu:542), and the three never-written snapshot placeholders
+    the reference fopens (fd-code.cu:465-470; committed output/ ships
+    them empty), plus image.num when requested (written to tmpdir here
+    rather than the reference's cwd)."""
+    _, _, _, outdir = rtm_run
+    names = sorted(f.name for f in outdir.iterdir())
+    assert names == sorted(["dir.image", "dir.image_lap", "dir.snaps",
+                            "dir.snaps_rec", "dir.snapr", "image.num"])
+    for f in ("dir.snaps", "dir.snaps_rec", "dir.snapr"):
+        assert (outdir / f).stat().st_size == 0

@@ -131,17 +131,18 @@ class TestRTMSnapshotPallas:
         for a, b in zip(outs["fused"], outs["strip"]):
             np.testing.assert_array_equal(a, b)
 
-    def test_mxu_ztaps_slice_bitwise_equals_roll(self, monkeypatch, rng):
-        """PFDC_MXU_ZTAPS=slice (z sublane taps via interior slices +
-        sublane pad inside the MXU lane-tap kernel) is bitwise identical
-        to the shipping roll lowering — same operand values and
-        association order on the interior, and the differing border rows
-        (zero vs wrapped garbage) are both killed by the premasked v2
-        operand. Kept as a measured NEGATIVE perf result (slice is ~3%
-        slower at 3lay size: sublane rolls are cheap, unlike the lane
-        rolls that made the padded lowering 1.28x on the all-VPU kernel;
+    def test_mxu_ztaps_slice_bitwise_equals_roll(self, rng):
+        """z_taps="slice" (z sublane taps via interior slices + sublane
+        pad inside the MXU lane-tap kernel) is bitwise identical to the
+        shipping roll lowering — same operand values and association
+        order on the interior, and the differing border rows (zero vs
+        wrapped garbage) are both killed by the premasked v2 operand.
+        Kept as a measured NEGATIVE perf result (slice is ~3% slower at
+        3lay size: sublane rolls are cheap, unlike the lane rolls that
+        made the padded lowering 1.28x on the all-VPU kernel;
         scripts/exp_mxu_zslice.py), but the escape hatch must stay
-        correct."""
+        correct. z_taps is an explicit kwarg, not an env var — a
+        trace-time env read is invisible to the jit cache key."""
         nt, nx, nxb = 10, 160, 8
         ctx, v2, wav = _setup(nt, rng, nx=nx, nxb=nxb)
         sx, sz, gz = nxb + nx // 2, 12, 9
@@ -149,9 +150,9 @@ class TestRTMSnapshotPallas:
             rng.standard_normal((ctx.nx, nt)).astype(np.float32))
         outs = {}
         for mode in ("roll", "slice"):
-            monkeypatch.setenv("PFDC_MXU_ZTAPS", mode)
             im = rtm_snapshot_pallas(ctx, v2, wav, dobs, sx, sz, gz,
-                                     interpret=True, lap_impl="mxu")
+                                     interpret=True, lap_impl="mxu",
+                                     z_taps=mode)
             outs[mode] = np.asarray(im)
         np.testing.assert_array_equal(outs["roll"], outs["slice"])
 
