@@ -260,6 +260,99 @@ def bench_rtm_domain_pallas_slope(n_x: int = 1, block_k: int = 8,
     return measure(domain), measure(wholeshot)
 
 
+def bench_rtm_domain2d_slope(nts=(501, 4501)):
+    """Sustained per-step cost of the 2D (x, z) decomposition's lax
+    formulation (:mod:`..parallel.domain2d`) on a 1x1x1 mesh — the
+    single-chip proxy for its per-chip efficiency, comparable to the 1D
+    tier's and the whole-shot kernel's recorded slopes (the tunnel's
+    fixed dispatch RTT cancels in the nt slope). On one chip the halo
+    exchanges are the n_shards==1 zero-pad concats, so this isolates the
+    *formulation* cost; the per-axis ppermute adds ICI latency on a real
+    block (modelled in PALLAS_NOTES, not measurable here).
+
+    Returns domain2d_us_per_step."""
+    import dataclasses
+    from parallel_finite_difference_computation_tpu.parallel import (
+        make_mesh, embed_dobs)
+    from parallel_finite_difference_computation_tpu.parallel.domain import (
+        embed_source_fields)
+    from parallel_finite_difference_computation_tpu.parallel.domain2d \
+        import make_sharded_rtm_snapshot_2d
+    mesh = make_mesh(n_shot=1, n_x=1, n_z=1)
+    p0, vp, _ = _load_3lay()
+    base = pipeline.prepare_velocity_cpu(p0, vp)
+    rng = np.random.default_rng(0)
+    ts = {}
+    for nt in nts:
+        p = dataclasses.replace(p0, nt=nt)
+        ctx = FDContext.from_params(p, exact_taper=False)
+        g = p.geometry()
+        wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                                  truncated=True))
+        dobs = rng.standard_normal((p.nx, p.nt)).astype(np.float32)
+        fn = make_sharded_rtm_snapshot_2d(ctx, mesh, g.gz)
+        d_ext = jax.device_put(embed_dobs(ctx, dobs[None]))
+        srcf = jax.device_put(embed_source_fields(
+            ctx, [int(g.sx[0])], g.sz, gaussian=False))
+        v2s = [jax.device_put(np.stack([base * (1 + 1e-7 * i)]))
+               for i in range(-4, 6)]
+        mk = lambda i: (v2s[i + 4], srcf, wav, d_ext)
+        ts[nt] = _prof_timeit(mk, fn, warmup=2, iters=5)
+    return (ts[nts[1]] - ts[nts[0]]) / (nts[1] - nts[0]) * 1e6
+
+
+def bench_rtm_shotshard_stream_slope(nts=(201, 1001), block_k: int = 4):
+    """Sustained per-step cost of the shot-sharded beyond-VMEM streaming
+    RTM tier (:func:`..parallel.shots.make_sharded_rtm_tiled`) on a
+    1-device shot mesh vs the same kernels unsharded — the single-chip
+    proxy showing the shard_map wrapper adds no per-step cost (shots are
+    independent; zero collectives until image stacking).
+
+    Returns (sharded_us_per_step, unsharded_us_per_step)."""
+    import dataclasses
+    from parallel_finite_difference_computation_tpu.parallel import make_mesh
+    from parallel_finite_difference_computation_tpu.parallel.shots import (
+        make_sharded_rtm_tiled)
+    from parallel_finite_difference_computation_tpu.solver import (
+        rtm_shot_snapshot_tiled)
+    mesh = make_mesh(n_shot=1)
+    p0, vp, _ = _load_3lay()
+    base = pipeline.prepare_velocity_cpu(p0, vp)
+    rng = np.random.default_rng(0)
+
+    def measure(make_fn_and_args):
+        ts = {}
+        for nt in nts:
+            p = dataclasses.replace(p0, nt=nt)
+            ctx = FDContext.from_params(p, exact_taper=False)
+            g = p.geometry()
+            wav = jnp.asarray(numerics.ricker_wavelet(
+                p.nt, p.dt, p.fpeak, truncated=True))
+            dobs = rng.standard_normal((p.nx, p.nt)).astype(np.float32)
+            fn, mk = make_fn_and_args(ctx, g, wav, dobs)
+            ts[nt] = _prof_timeit(mk, fn, warmup=2, iters=5)
+        return (ts[nts[1]] - ts[nts[0]]) / (nts[1] - nts[0]) * 1e6
+
+    def sharded(ctx, g, wav, dobs):
+        fn = make_sharded_rtm_tiled(ctx, mesh, g.sz, g.gz, tile_rows=64,
+                                    block_k=block_k)
+        d = jax.device_put(dobs[None])
+        sxs = jax.device_put(np.asarray([g.sx[0]], np.int32))
+        v2s = [jax.device_put(np.stack([base * (1 + 1e-7 * i)]))
+               for i in range(-4, 6)]
+        return fn, lambda i: (v2s[i + 4], d, sxs, wav)
+
+    def unsharded(ctx, g, wav, dobs):
+        d0 = jnp.asarray(dobs)
+        fn = jax.jit(lambda v, c=ctx, w=wav: rtm_shot_snapshot_tiled(
+            c, v, w, d0, g.sx[0], g.sz, g.gz, tile_rows=64,
+            block_k=block_k))
+        v2s = [jax.device_put(base * (1 + 1e-7 * i)) for i in range(-4, 6)]
+        return fn, lambda i: (v2s[i + 4],)
+
+    return measure(sharded), measure(unsharded)
+
+
 def bench_marmousi_pallas(lap_impl=None):
     """Flagship-scale whole-shot Pallas RTM (marmousi GPU-suite config,
     409x455 extended, nt=3004). Compile takes many minutes through the
@@ -683,6 +776,27 @@ def _main_body():
                 us_dom_m / us_ws_m)
         except Exception as e:
             details["rtm_3lay_domain_mxu_slope_error"] = str(e)[:200]
+        try:
+            # 2D (x, z) decomposition tier: single-chip per-step slope
+            # (1x1x1 mesh; the n_x=1/n_z=1 proxy, like the 1D tier's)
+            us_2d = bench_rtm_domain2d_slope()
+            details["rtm_3lay_domain2d_nx1nz1_us_per_step_slope"] = us_2d
+            us_ws0 = details.get("rtm_3lay_wholeshot_pallas_us_per_step_slope")
+            if us_ws0:
+                details["rtm_3lay_domain2d_vs_wholeshot_step_ratio"] = (
+                    us_2d / us_ws0)
+        except Exception as e:
+            details["rtm_3lay_domain2d_slope_error"] = str(e)[:200]
+        try:
+            # shot-sharded streaming tier: 1-device shot mesh vs the same
+            # kernels unsharded (the wrapper-cost proxy)
+            us_sh, us_un = bench_rtm_shotshard_stream_slope()
+            details["rtm_3lay_shotshard_stream_us_per_step_slope"] = us_sh
+            details["rtm_3lay_unsharded_stream_us_per_step_slope"] = us_un
+            details["rtm_3lay_shotshard_vs_unsharded_stream_ratio"] = (
+                us_sh / us_un)
+        except Exception as e:
+            details["rtm_3lay_shotshard_stream_slope_error"] = str(e)[:200]
         t_headline = t_pallas
         if t_pallas > FLOOR_RTM_PALLAS_S:
             floors.append(f"rtm pallas {t_pallas:.4f}s > {FLOOR_RTM_PALLAS_S}")

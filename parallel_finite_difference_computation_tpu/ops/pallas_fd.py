@@ -208,9 +208,11 @@ def _use_mxu_lap(lap_impl, ctx: FDContext = None) -> int:
     lowering inside :func:`..stencil.lap_in_kernel`). Returns the number
     of bf16 residual splits (0 = VPU, 2 = 3-pass, 3 = 6-pass) — truthy
     exactly when the MXU path is selected."""
-    import os
     if lap_impl is None:
-        lap_impl = os.environ.get("PFDC_LAP_IMPL", "padded")
+        # import-time snapshot, never a trace-time env read (see
+        # ..stencil._ENV_LAP_IMPL)
+        from .stencil import _ENV_LAP_IMPL
+        lap_impl = _ENV_LAP_IMPL
     if ctx is not None:
         lap_impl = resolve_lap_impl(ctx, lap_impl)
     elif lap_impl == "auto":
@@ -312,7 +314,13 @@ def _make_lap(ctx: FDContext, mxu_refs=None, z_taps: str = "roll"):
     return lap
 
 
-def _taper_rows(ctx: FDContext, mask_np) -> int:
+# Import-time snapshot of the PFDC_TAPER_IMPL knob (never a trace-time
+# env read — see ..stencil._ENV_LAP_IMPL for why).
+import os as _os
+_ENV_TAPER_IMPL = _os.environ.get("PFDC_TAPER_IMPL", "fused")
+
+
+def _taper_rows(ctx: FDContext, mask_np, taper_impl: str = None) -> int:
     """Number of leading z rows (sublanes, z-major) the taper actually
     modifies, or 0 to force the fused full-grid path.
 
@@ -320,15 +328,15 @@ def _taper_rows(ctx: FDContext, mask_np) -> int:
     on a ``(gridx, gridBorder_z)`` grid — it touches only ``z < nzb`` (top
     strip + the two top corners), so the mask is exactly 1.0 everywhere
     else and the multiply can be restricted to that sublane strip
-    (``PFDC_TAPER_IMPL=strip``): two strip read-modify-writes replace two
-    full-grid mask multiplies and the full-grid tapered-source store,
-    saving ~2.7 full-grid op-slots of the ~35-slot step. Bitwise identical
-    by construction (the skipped cells were multiplied by exactly 1.0).
-    Verified against the actual mask at build time; any mask that touches
-    rows >= nzb (e.g. the all-edges ``taper_apply`` mask) falls back to
-    the fused path."""
-    import os
-    if os.environ.get("PFDC_TAPER_IMPL", "fused") != "strip":
+    (``taper_impl="strip"`` / import-time ``PFDC_TAPER_IMPL`` snapshot):
+    two strip read-modify-writes replace two full-grid mask multiplies
+    and the full-grid tapered-source store, saving ~2.7 full-grid
+    op-slots of the ~35-slot step. Bitwise identical by construction
+    (the skipped cells were multiplied by exactly 1.0). Verified against
+    the actual mask at build time; any mask that touches rows >= nzb
+    (e.g. the all-edges ``taper_apply`` mask) falls back to the fused
+    path."""
+    if (taper_impl or _ENV_TAPER_IMPL) != "strip":
         return 0
     rows = ctx.nzb
     if rows <= 0 or not np.all(mask_np[rows:, :] == np.float32(1.0)):
@@ -600,7 +608,7 @@ def _rtm_kernel(ctx: FDContext, gz: int, sz: int, taper_rows: int,
 
 def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
                         gz: int, interpret: bool = False, lap_impl=None,
-                        z_taps: str = "roll"):
+                        z_taps: str = "roll", taper_impl: str = None):
     """Whole-shot two-snapshot RTM in a single Pallas kernel.
 
     Args match ``solver.rtm_shot_snapshot``: ``dobs`` is (nx, nt) observed
@@ -633,7 +641,8 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
         extra = list(_mxu_band_inputs(ctx, wp, use_mxu))
 
     kern = functools.partial(_rtm_kernel, ctx, gz, sz,
-                             _taper_rows(ctx, mask_np), use_mxu, z_taps)
+                             _taper_rows(ctx, mask_np, taper_impl),
+                             use_mxu, z_taps)
     imloc_ext = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ctx.nze, wp), jnp.float32),
@@ -745,7 +754,7 @@ def _bwd_gpu_kernel(ctx: FDContext, gz: int, taper_rows: int,
 
 
 def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
-                      interpret: bool = False):
+                      interpret: bool = False, taper_impl: str = None):
     """GPU-suite forward propagation as one VMEM-resident kernel
     (``fd_forward``, ``fd-code.cu:247-288``). Returns the final two
     wavefield states ``(p, pp)`` in (nx, nz) layout — the snapshots consumed
@@ -754,7 +763,7 @@ def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
     mask = jnp.asarray(mask_np)
     src_rows = _src_rows(ctx, jnp.asarray(sx), gaussian=False)
     kern = functools.partial(_fwd_gpu_kernel, ctx, sz,
-                             _taper_rows(ctx, mask_np))
+                             _taper_rows(ctx, mask_np, taper_impl))
     p, pp = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),
@@ -777,7 +786,7 @@ def fd_forward_pallas(ctx: FDContext, v2, wavelet, sx, sz: int,
 
 
 def fd_back_pallas(ctx: FDContext, v2, snap_p, snap_pp, dobs, gz: int,
-                   interpret: bool = False):
+                   interpret: bool = False, taper_impl: str = None):
     """GPU-suite backward propagation + imaging as one VMEM-resident kernel
     (``fd_back``, ``fd-code.cu:290-341``). ``snap_p``/``snap_pp`` are the
     (nx, nz)-layout outputs of :func:`fd_forward_pallas`; ``dobs`` is
@@ -786,7 +795,7 @@ def fd_back_pallas(ctx: FDContext, v2, snap_p, snap_pp, dobs, gz: int,
     mask = jnp.asarray(mask_np)
     dobs_tx = dobs[:, ::-1].astype(jnp.float32).T  # (nt, nx)
     kern = functools.partial(_bwd_gpu_kernel, ctx, gz,
-                             _taper_rows(ctx, mask_np))
+                             _taper_rows(ctx, mask_np, taper_impl))
     imloc_ext = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ctx.nze, ctx.nxe), jnp.float32),

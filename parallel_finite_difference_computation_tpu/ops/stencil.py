@@ -120,9 +120,21 @@ def _laplacian_splitzx_padded(p, coefs_x, coefs_z, order: int):
                    ((order // 2,) * 2, (order // 2,) * 2))
 
 
-def lap_in_kernel(p, coefs_x, coefs_z, order: int):
-    """The Laplacian formulation used inside Pallas kernels, selectable via
-    ``PFDC_LAP_IMPL`` (read at trace time):
+# Process-stable snapshot of the PFDC_LAP_IMPL env knob, read ONCE at
+# import. Never read os.environ inside traced code: a trace-time read is
+# invisible to the jit cache key, so two traces of the same signature
+# under different env values silently serve each other's compilations
+# (the round-3 footgun class). A module-level snapshot keeps the knob
+# while making the value process-constant — change it by restarting, or
+# pass the explicit ``impl``/``lap_impl`` kwargs.
+import os as _os
+_ENV_LAP_IMPL = _os.environ.get("PFDC_LAP_IMPL", "padded")
+
+
+def lap_in_kernel(p, coefs_x, coefs_z, order: int, impl: str = None):
+    """The Laplacian formulation used inside Pallas kernels. ``impl``
+    (or, when None, the import-time ``PFDC_LAP_IMPL`` snapshot
+    ``_ENV_LAP_IMPL`` — never a trace-time env read) selects:
 
     * ``padded`` (default): :func:`_laplacian_splitzx_padded` — slice taps
       + ``jnp.pad`` zero border (the caller's v2 premask is then redundant
@@ -137,8 +149,7 @@ def lap_in_kernel(p, coefs_x, coefs_z, order: int):
       lowering (none seen since the descending-order fix; the merged-
       center order's pad WAS rejected by the dev tunnel's Mosaic).
     """
-    import os
-    if os.environ.get("PFDC_LAP_IMPL", "padded") == "roll":
+    if (impl or _ENV_LAP_IMPL) == "roll":
         return laplacian_full(p, coefs_x, coefs_z, order)
     return _laplacian_splitzx_padded(p, coefs_x, coefs_z, order)
 

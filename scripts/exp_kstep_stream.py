@@ -73,21 +73,18 @@ def main():
              (4, 256, "mxu"), (8, 256, "mxu"), (8, 256, "mxu6"),
              (16, 256, "mxu")]
     for K, tr, impl in cases:
-        # fresh ctx per case: FDContext hashes by identity, so the jit
-        # cache cannot hand back a kernel traced under a stale
-        # PFDC_LAP_IMPL
         ctx, v2, wav = setup(nt)
         cells = ctx.nxe * ctx.nze
-        os.environ["PFDC_LAP_IMPL"] = impl
         try:
             if K == 1:
-                fn = jax.jit(lambda w, v, _c=ctx: forward_modeling_tiled(
-                    _c, v, w, 2740, 40, 40)[2])
+                fn = jax.jit(lambda w, v, _c=ctx, _i=impl:
+                             forward_modeling_tiled(
+                                 _c, v, w, 2740, 40, 40, lap_impl=_i)[2])
             else:
-                fn = jax.jit(lambda w, v, _c=ctx, _K=K, _tr=tr:
+                fn = jax.jit(lambda w, v, _c=ctx, _K=K, _tr=tr, _i=impl:
                              forward_modeling_tiled(
                                  _c, v, w, 2740, 40, 40, tile_rows=_tr,
-                                 block_k=_K)[2])
+                                 block_k=_K, lap_impl=_i)[2])
             make = lambda i: (jnp.asarray(wav * (1 + 1e-6 * i)),
                               v2 * (1 + 1e-7 * (i + 1)))
             t = timeit(fn, make) / nt
@@ -96,7 +93,6 @@ def main():
         except Exception as e:
             print(f"perf K={K} tr={tr} {impl}: FAILED "
                   f"{type(e).__name__}: {str(e)[:140]}")
-    os.environ.pop("PFDC_LAP_IMPL", None)
 
 
 if __name__ == "__main__":

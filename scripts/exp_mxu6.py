@@ -28,7 +28,7 @@ def bench_3lay(lap_impl):
 
 
 def marmousi_gate(lap_impl):
-    """run_rtm_gpu(marmousi, pallas) under PFDC_LAP_IMPL vs the C-oracle
+    """run_rtm_gpu(marmousi, pallas) under lap_impl vs the C-oracle
     golden — the validate-6d comparison."""
     import os
     import tempfile
@@ -39,19 +39,11 @@ def marmousi_gate(lap_impl):
         gpu_goldens)
     paths = gpu_goldens("marmousi")
     p = pfdc.parse_input_dat(str(paths["input_parity"]))
-    old = os.environ.get("PFDC_LAP_IMPL")
-    os.environ["PFDC_LAP_IMPL"] = lap_impl
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            t0 = time.perf_counter()
-            img, imlocs = pipeline.run_rtm_gpu(p, backend="pallas",
-                                               outdir=td)
-            wall = time.perf_counter() - t0
-    finally:
-        if old is None:
-            os.environ.pop("PFDC_LAP_IMPL", None)
-        else:
-            os.environ["PFDC_LAP_IMPL"] = old
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        img, imlocs = pipeline.run_rtm_gpu(p, backend="pallas",
+                                           outdir=td, lap_impl=lap_impl)
+        wall = time.perf_counter() - t0
     golden = np.fromfile(paths["dir_image"], np.float32).reshape(p.nx, p.nz)
     gims = np.fromfile(paths["imlocs"], np.float32).reshape(p.ns, p.nx,
                                                             p.nz)

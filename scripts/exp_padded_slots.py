@@ -113,11 +113,154 @@ def _taps_aligned(a, order, hr, tx, W, cz, cx):
     return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
 
 
+def _taps_zroll_split(a, order, hr, tx, W, cz, cx):
+    """z (lane) taps via whole-frame lane rolls, x taps via slices —
+    split-axis association preserved. Candidate bit-identical: for every
+    column the caller's mask keeps (global z interior [2h, nz)), the
+    rolled operands equal the sliced ones (wrap garbage lands only in
+    masked-out columns)."""
+    h = order // 2
+    accz = None
+    for k in range(h, 0, -1):
+        term = cz[h + k] * (jnp.roll(a, k, 1) + jnp.roll(a, -k, 1))
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * a
+    accz = jax.lax.slice(accz, (hr, 0), (hr + tx, W))
+    wz = W - order
+    c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(a, (hr - k, h), (hr - k + tx, h + wz))
+        xp = jax.lax.slice(a, (hr + k, h), (hr + k + tx, h + wz))
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
+    return accz + jnp.pad(accx, ((0, 0), (h, W - wz - h)))
+
+
+def _taps_allroll_split(a, order, hr, tx, W, cz, cx):
+    """Both axes via whole-frame rolls with the split-axis association
+    order preserved (unlike _taps_bothroll's merged-center interleave):
+    candidate bit-identical on all kept cells."""
+    h = order // 2
+    accz = None
+    for k in range(h, 0, -1):
+        term = cz[h + k] * (jnp.roll(a, k, 1) + jnp.roll(a, -k, 1))
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * a
+    accx = None
+    for k in range(h, 0, -1):
+        term = cx[h + k] * (jnp.roll(a, k, 0) + jnp.roll(a, -k, 0))
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * a
+    return jax.lax.slice(accz + accx, (hr, 0), (hr + tx, W))
+
+
+def _taps_zalign_only(a, order, hr, tx, W, cz, cx):
+    """DIAGNOSTIC (wrong values): z (lane) loads at aligned offsets,
+    x (sublane) loads real — isolates the lane-shift cost."""
+    h = order // 2
+    wz = W - order
+    c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    accz = None
+    for k in range(h, 0, -1):
+        off = 128 if W >= h + wz + 128 else 0
+        zm = jax.lax.slice(a, (hr, 0), (hr + tx, wz))
+        zp = jax.lax.slice(a, (hr, off), (hr + tx, off + wz))
+        term = cz[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * c
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(a, (hr - k, h), (hr - k + tx, h + wz))
+        xp = jax.lax.slice(a, (hr + k, h), (hr + k + tx, h + wz))
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
+    return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
+
+
+def _taps_xalign_only(a, order, hr, tx, W, cz, cx):
+    """DIAGNOSTIC (wrong values): x (sublane) loads at aligned offsets
+    (+-8 rows), z (lane) loads real — isolates the sublane-shift cost."""
+    h = order // 2
+    wz = W - order
+    c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    accz = None
+    for k in range(h, 0, -1):
+        zm = jax.lax.slice(a, (hr, h - k), (hr + tx, h - k + wz))
+        zp = jax.lax.slice(a, (hr, h + k), (hr + tx, h + k + wz))
+        term = cz[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * c
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(a, (hr - 8, h), (hr - 8 + tx, h + wz))
+        xp = jax.lax.slice(a, (hr + 8, h), (hr + 8 + tx, h + wz))
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
+    return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
+
+
+def _taps_zroll2(a, order, hr, tx, W, cz, cx):
+    """z (lane) taps via per-tap roll+slice (the construct that compiled
+    for the x axis in _taps_xroll), x taps via slices. Candidate
+    bit-identical."""
+    h = order // 2
+    wz = W - order
+    c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    accz = None
+    for k in range(h, 0, -1):
+        zm = jax.lax.slice(jnp.roll(a, k, 1), (hr, h), (hr + tx, h + wz))
+        zp = jax.lax.slice(jnp.roll(a, -k, 1), (hr, h), (hr + tx, h + wz))
+        term = cz[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * c
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(a, (hr - k, h), (hr - k + tx, h + wz))
+        xp = jax.lax.slice(a, (hr + k, h), (hr + k + tx, h + wz))
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
+    return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
+
+
+def _taps_bothroll2(a, order, hr, tx, W, cz, cx):
+    """Both axes via per-tap roll+slice — split-axis association
+    preserved. Candidate bit-identical."""
+    h = order // 2
+    wz = W - order
+    c = jax.lax.slice(a, (hr, h), (hr + tx, h + wz))
+    accz = None
+    for k in range(h, 0, -1):
+        zm = jax.lax.slice(jnp.roll(a, k, 1), (hr, h), (hr + tx, h + wz))
+        zp = jax.lax.slice(jnp.roll(a, -k, 1), (hr, h), (hr + tx, h + wz))
+        term = cz[h + k] * (zm + zp)
+        accz = term if accz is None else accz + term
+    accz = accz + cz[h] * c
+    accx = None
+    for k in range(h, 0, -1):
+        xm = jax.lax.slice(jnp.roll(a, k, 0), (hr, h), (hr + tx, h + wz))
+        xp = jax.lax.slice(jnp.roll(a, -k, 0), (hr, h), (hr + tx, h + wz))
+        term = cx[h + k] * (xm + xp)
+        accx = term if accx is None else accx + term
+    accx = accx + cx[h] * c
+    return jnp.pad(accz + accx, ((0, 0), (h, W - wz - h)))
+
+
 TAPS = {
     "prod": ps._lap_taps,
     "xroll": _taps_xroll,
     "bothroll": _taps_bothroll,
     "aligned": _taps_aligned,
+    "zroll_split": _taps_zroll_split,
+    "allroll_split": _taps_allroll_split,
+    "zalign": _taps_zalign_only,
+    "xalign": _taps_xalign_only,
+    "zroll2": _taps_zroll2,
+    "bothroll2": _taps_bothroll2,
 }
 
 
@@ -212,18 +355,21 @@ def check_vs_prod(variant, n=512):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     print("device:", jax.devices()[0], "n:", n, flush=True)
-    for variant in ("prod", "xroll", "bothroll", "aligned"):
+    variants = sys.argv[2].split(",") if len(sys.argv) > 2 else list(TAPS)
+    for variant in variants:
         for tr in (64, 128):
             try:
                 call, shape, mask = build(n, variant, tr)
                 g, per = slope_rate(call, shape, mask, n)
                 extra = ""
-                if variant in ("xroll",) and tr == 64:
-                    extra = f"  (max abs diff vs prod: {check_vs_prod(variant):.2e})"
-                print(f"{variant:9s} tr={tr:3d}: {g:6.2f} GCell/s "
+                if variant in ("xroll", "zroll_split", "allroll_split",
+                               "zroll2", "bothroll2") and tr == 64:
+                    extra = (f"  (max abs diff vs prod: "
+                             f"{check_vs_prod(variant):.2e})")
+                print(f"{variant:13s} tr={tr:3d}: {g:6.2f} GCell/s "
                       f"({per*1e3:.3f} ms/apply){extra}", flush=True)
             except Exception as e:
-                print(f"{variant:9s} tr={tr:3d}: FAILED {str(e)[:200]}",
+                print(f"{variant:13s} tr={tr:3d}: FAILED {str(e)[:200]}",
                       flush=True)
 
 

@@ -5,7 +5,7 @@ The GPU-suite taper (K3, ``kernel_tapper``, ``fd-code.cu:94-117``) only
 modifies z rows < nzb (top strip + corners); everywhere else the mask is
 exactly 1.0.  The fused step multiplies BOTH fields by the full-grid mask
 every step and stores the tapered source field back full-grid; the strip
-form (``PFDC_TAPER_IMPL=strip``) restricts the two multiplies to the
+form (``taper_impl="strip"``) restricts the two multiplies to the
 nzb-row sublane strip and drops the full-grid store — ~2.7 full-grid
 op-slots of the ~35-slot step, bitwise identical output (verified in
 interpret mode and asserted here on-chip).
@@ -40,7 +40,6 @@ def build(nt):
 
 
 def measure(mode, nts=(401, 1601), iters=5):
-    os.environ["PFDC_TAPER_IMPL"] = mode
     times = {}
     out = {}
     for nt in nts:
@@ -51,7 +50,8 @@ def measure(mode, nts=(401, 1601), iters=5):
 
         @jax.jit
         def run(w):
-            return pf.rtm_snapshot_pallas(ctx, v2, w, dobs, sx, sz, gz)
+            return pf.rtm_snapshot_pallas(ctx, v2, w, dobs, sx, sz, gz,
+                                          taper_impl=mode)
 
         times[nt] = timeit(
             lambda i: (jnp.asarray(wav + np.float32(i) * 1e-9),), run,

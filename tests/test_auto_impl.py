@@ -109,3 +109,44 @@ class TestAutoEndToEnd:
         im_mxu = np.asarray(rtm_snapshot_pallas(*args, interpret=True,
                                                 lap_impl="mxu"))
         np.testing.assert_array_equal(im_auto, im_mxu)
+
+
+class TestNoTraceTimeEnvReads:
+    def test_compute_modules_read_environ_only_at_import(self):
+        """No os.environ access inside any function of the compute-path
+        modules (ops/, parallel/, solver.py): a trace-time env read is
+        invisible to the jit cache key, so two traces under different env
+        values silently serve each other's compilations. Knobs are
+        explicit kwargs or import-time module snapshots."""
+        import ast
+        import pathlib
+        import parallel_finite_difference_computation_tpu as pkg
+        root = pathlib.Path(pkg.__file__).parent
+        files = (list((root / "ops").glob("*.py"))
+                 + list((root / "parallel").glob("*.py"))
+                 + [root / "solver.py", root / "numerics.py"])
+        offenders = []
+        for f in files:
+            tree = ast.parse(f.read_text())
+            for fn in ast.walk(tree):
+                if not isinstance(fn, (ast.FunctionDef,
+                                       ast.AsyncFunctionDef)):
+                    continue
+                for node in ast.walk(fn):
+                    if (isinstance(node, ast.Attribute)
+                            and node.attr == "environ"):
+                        offenders.append(f"{f.name}:{node.lineno} "
+                                         f"in {fn.name}")
+        assert not offenders, offenders
+
+    def test_env_change_after_import_does_not_change_behavior(self,
+                                                              monkeypatch):
+        """The PFDC_LAP_IMPL knob is an import-time snapshot: flipping the
+        env var mid-process must NOT change what lap_impl=None resolves
+        to (process-stable -> the jit cache can never serve a stale
+        trace)."""
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd \
+            import _use_mxu_lap
+        before = _use_mxu_lap(None)
+        monkeypatch.setenv("PFDC_LAP_IMPL", "mxu")
+        assert _use_mxu_lap(None) == before

@@ -106,14 +106,16 @@ class TestRTMSnapshotPallas:
                                    atol=tol, rtol=0)
 
     @pytest.mark.parametrize("nt", [10, 11])
-    def test_strip_taper_bitwise_equals_fused(self, monkeypatch, rng, nt):
-        """PFDC_TAPER_IMPL=strip (taper multiplies restricted to the top
+    def test_strip_taper_bitwise_equals_fused(self, rng, nt):
+        """taper_impl="strip" (taper multiplies restricted to the top
         nzb sublane rows, where the K3 mask differs from 1) is bitwise
         identical to the fused full-grid form — the skipped cells were
         multiplied by exactly 1.0. Kept as a measured NEGATIVE perf result
         (strip is ~4.5% slower on v5e: the partial-tile RMWs cost more
         than the full-grid multiplies they remove; scripts/
-        exp_strip_taper.py), but the flag must stay correct."""
+        exp_strip_taper.py), but the knob must stay correct. taper_impl
+        is an explicit kwarg — trace-time env reads are invisible to the
+        jit cache key."""
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             fd_forward_pallas, fd_back_pallas)
         ctx, v2, wav = _setup(nt, rng)
@@ -122,11 +124,12 @@ class TestRTMSnapshotPallas:
             rng.standard_normal((ctx.nx, nt)).astype(np.float32))
         outs = {}
         for mode in ("fused", "strip"):
-            monkeypatch.setenv("PFDC_TAPER_IMPL", mode)
             im = rtm_snapshot_pallas(ctx, v2, wav, dobs, sx, sz, gz,
-                                     interpret=True)
-            p, pp = fd_forward_pallas(ctx, v2, wav, sx, sz, interpret=True)
-            im2 = fd_back_pallas(ctx, v2, p, pp, dobs, gz, interpret=True)
+                                     interpret=True, taper_impl=mode)
+            p, pp = fd_forward_pallas(ctx, v2, wav, sx, sz, interpret=True,
+                                      taper_impl=mode)
+            im2 = fd_back_pallas(ctx, v2, p, pp, dobs, gz, interpret=True,
+                                 taper_impl=mode)
             outs[mode] = tuple(np.asarray(a) for a in (im, p, pp, im2))
         for a, b in zip(outs["fused"], outs["strip"]):
             np.testing.assert_array_equal(a, b)
@@ -156,19 +159,17 @@ class TestRTMSnapshotPallas:
             outs[mode] = np.asarray(im)
         np.testing.assert_array_equal(outs["roll"], outs["slice"])
 
-    def test_taper_rows_rejects_non_strip_mask(self, monkeypatch, rng):
+    def test_taper_rows_rejects_non_strip_mask(self, rng):
         """_taper_rows falls back to the fused path (returns 0) when the
         mask touches rows >= nzb (the all-edges taper_apply mask)."""
         from parallel_finite_difference_computation_tpu.ops.pallas_fd import (
             _taper_rows)
         ctx, _, _ = _setup(4, rng)
-        monkeypatch.setenv("PFDC_TAPER_IMPL", "strip")
         top = np.transpose(np.asarray(ctx.mask_top))
-        assert _taper_rows(ctx, top) == ctx.nzb
+        assert _taper_rows(ctx, top, "strip") == ctx.nzb
         allm = np.transpose(np.asarray(ctx.mask_all))
-        assert _taper_rows(ctx, allm) == 0
-        monkeypatch.setenv("PFDC_TAPER_IMPL", "fused")
-        assert _taper_rows(ctx, top) == 0
+        assert _taper_rows(ctx, allm, "strip") == 0
+        assert _taper_rows(ctx, top, "fused") == 0
 
     def test_gaussian_src_rows_match_patch(self, rng):
         """_src_rows embeds the ptsrc Gaussian columns at sx."""
