@@ -272,13 +272,17 @@ def bench_rtm_domain2d_slope(nts=(501, 4501)):
 
     Returns domain2d_us_per_step."""
     import dataclasses
+    from jax.sharding import Mesh
     from parallel_finite_difference_computation_tpu.parallel import (
-        make_mesh, embed_dobs)
+        embed_dobs)
     from parallel_finite_difference_computation_tpu.parallel.domain import (
         embed_source_fields)
     from parallel_finite_difference_computation_tpu.parallel.domain2d \
         import make_sharded_rtm_snapshot_2d
-    mesh = make_mesh(n_shot=1, n_x=1, n_z=1)
+    # make_mesh collapses n_z == 1 to a (shot, x) mesh; the 2D tier needs
+    # the z axis present, so build the 1x1x1 (shot, x, z) mesh directly
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                ("shot", "x", "z"))
     p0, vp, _ = _load_3lay()
     base = pipeline.prepare_velocity_cpu(p0, vp)
     rng = np.random.default_rng(0)

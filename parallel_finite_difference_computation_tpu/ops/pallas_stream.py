@@ -34,14 +34,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_stencil import (padded_layout, to_padded, from_padded,
                              _halo_dma_start, _halo_dma_wait, _lap_taps,
-                             _lap_taps_mxu, stream_band_inputs,
-                             _check_tile_rows)
+                             _lap_taps_roll, _lap_taps_mxu,
+                             stream_band_inputs, _check_tile_rows)
 
 __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
            "fd_kstep_padded", "fd_kstep_gpu_fwd_padded",
            "fd_kstep_gpu_bwd_padded", "fd_kstep_rec_padded",
            "mask_ramps", "separable_mask_operands", "injection_window",
            "padded_layout", "to_padded", "from_padded"]
+
+
+# Exact-lap lowering by frame width: whole-frame rolls beat per-tap
+# unaligned slices on wide frames (measured at 8192 lanes: 42.5 vs 39.6
+# GCell/s, scripts/exp_padded_slots.py) but lose badly on narrow ones
+# (231 lanes: roll 5.39 vs slice 3.34 us/step on the whole-shot kernel)
+# — the rotate cost amortizes over lanes. The streaming tiers serve
+# beyond-VMEM (wide) grids, so pick by W. Wrap garbage lands only in
+# cells the v2m premask / output masks zero or the K-step invalidation
+# contract already discards; kept cells read the same operands in the
+# same association order (the per-step kernel measures bit-identical;
+# the K-step kernels can differ in low bits only, ~1e-11, where the
+# compiler forms fma differently across the two graphs — far inside the
+# tier's 1e-5 lax-parity contract; tests/test_pallas_stream.py::
+# TestRollLowering).
+_ROLL_LANES_MIN = 1024
 
 
 def _lap_dispatch(use_mxu, rest, order, hr, tx, W, cz, cx):
@@ -51,6 +67,8 @@ def _lap_dispatch(use_mxu, rest, order, hr, tx, W, cz, cx):
         sf, sm, sl = rest[:3]
         return (lambda a: _lap_taps_mxu(a, order, hr, tx, W, cx,
                                         sf, sm, sl)), rest[3:]
+    if W >= _ROLL_LANES_MIN:
+        return (lambda a: _lap_taps_roll(a, order, hr, tx, W, cz, cx)), rest
     return (lambda a: _lap_taps(a, order, hr, tx, W, cz, cx)), rest
 
 
@@ -579,7 +597,8 @@ def _kstep_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
                                     sl_ref)
                     + _lap_x_slab(x, order, cx))
     else:
-        lap_fn = lambda x: lap_in_kernel(x, cx, cz, order)
+        impl = "roll" if W >= _ROLL_LANES_MIN else None
+        lap_fn = lambda x: lap_in_kernel(x, cx, cz, order, impl)
     (pn_out, ppn_out, rec_out,
      p_s, pp_s, v2m_s, mrow_s, inj_s, sems) = rest
     hbms = (p_hbm, pp_hbm, v2m_hbm, mrow_hbm)
@@ -731,7 +750,8 @@ def _kstep_gpu_fwd_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
                                     sl_ref)
                     + _lap_x_slab(a, order, cx))
     else:
-        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
+        impl = "roll" if W >= _ROLL_LANES_MIN else None
+        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order, impl)
     (pn_out, ppn_out, p_s, pp_s, v2m_s, mrow_s, inj_s, sems) = rest
     hbms = (p_hbm, pp_hbm, v2m_hbm, mrow_hbm)
     scrs = (p_s, pp_s, v2m_s, mrow_s)
@@ -852,7 +872,8 @@ def _kstep_gpu_bwd_kernel(order, hk, K, tx, n_tx, R, W, row0, nxb, nx,
                                     sl_ref)
                     + _lap_x_slab(a, order, cx))
     else:
-        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
+        impl = "roll" if W >= _ROLL_LANES_MIN else None
+        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order, impl)
     (psn_out, ppsn_out, prn_out, pprn_out, imn_out,
      ps_s, pps_s, pr_s, ppr_s, v2m_s, mrow_s, sism_s, sems) = rest
     hbms = (ps_hbm, pps_hbm, pr_hbm, ppr_hbm, v2m_hbm, mrow_hbm, sism_hbm)
@@ -1001,7 +1022,8 @@ def _kstep_rec_kernel(order, hk, K, tx, n_tx, R, W, cz, cx, use_mxu,
                                     sl_ref)
                     + _lap_x_slab(a, order, cx))
     else:
-        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order)
+        impl = "roll" if W >= _ROLL_LANES_MIN else None
+        lap_fn = lambda a: lap_in_kernel(a, cx, cz, order, impl)
     if column_inj:
         (pn_out, ppn_out, frames_out,
          p_s, pp_s, v2m_s, mrow_s, inj_s, sems) = rest

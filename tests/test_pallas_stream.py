@@ -424,3 +424,98 @@ def test_rtm_cpu_auto_degrades_when_tiled_fails(monkeypatch):
     assert any("falling back to the lax path" in str(x.message) for x in w)
     ref_img, _ = pipeline.run_rtm_cpu(p, vp=vp, dobs=dobs, backend="lax")
     np.testing.assert_allclose(img, ref_img, rtol=1e-5, atol=1e-6)
+
+
+class TestRollLowering:
+    """The width-derived roll lowering of the exact streaming lap
+    (_ROLL_LANES_MIN): whole-frame rolls on wide frames, value-identical
+    on every kept cell (wrap garbage is confined to cells the v2m
+    premask / output masks zero or the K-step invalidation contract
+    discards)."""
+
+    def test_roll_lowering_matches_slice_form_per_step(self, monkeypatch):
+        """fd_step_padded under the roll lowering (threshold forced to 0)
+        is bit-identical to the slice lowering at a narrow width."""
+        import parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            as strm
+        ctx = _ctx()
+        rng = np.random.default_rng(3)
+        shape = (ctx.nxe, ctx.nze)
+        p = rng.standard_normal(shape).astype(np.float32)
+        pp = rng.standard_normal(shape).astype(np.float32)
+        v2 = np.full(shape, 4e6, np.float32)
+        mask = np.asarray(ctx.mask_all)
+        tr = 16
+        args = (ctx.coefs_x, ctx.coefs_z, ctx.order, ctx.nxe, ctx.nze,
+                ctx.dt2)
+        ins = tuple(to_padded(jnp.asarray(a), ctx.order, tr)
+                    for a in (p, pp, v2, mask))
+        outs = {}
+        for thr in (10 ** 9, 0):  # slice form, then roll form
+            monkeypatch.setattr(strm, "_ROLL_LANES_MIN", thr)
+            pn, ppn = fd_step_padded(*ins, *args, tile_rows=tr,
+                                     interpret=True)
+            outs[thr] = (np.asarray(pn), np.asarray(ppn))
+        np.testing.assert_array_equal(outs[0][0], outs[10 ** 9][0])
+        np.testing.assert_array_equal(outs[0][1], outs[10 ** 9][1])
+
+    @pytest.mark.parametrize("block_k,tile_rows", [(1, 16), (3, 32)])
+    def test_roll_lowering_matches_slice_form_kstep(self, monkeypatch,
+                                                    block_k, tile_rows):
+        """forward_modeling_tiled (per-step and K-blocked kernels) under
+        the roll lowering is bit-identical to the slice lowering —
+        covering the K-step invalidation-front contract with wrap
+        garbage at slab edges."""
+        import parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            as strm
+        ctx = _ctx()
+        rng = np.random.default_rng(7)
+        v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+        sx, sz, gz = ctx.nxb + 10, ctx.nzb + 3, ctx.nzb + 1
+        outs = {}
+        for thr in (10 ** 9, 0):
+            monkeypatch.setattr(strm, "_ROLL_LANES_MIN", thr)
+            outs[thr] = forward_modeling_tiled(
+                FDContext.create(30, 40, 12, dx=10.0, dz=10.0, dt=0.001,
+                                 order=8, nxb=6, nzb=5, fac=0.7),
+                jnp.asarray(v2), wav, sx, sz, gz, source="gaussian",
+                tile_rows=tile_rows, interpret=True, block_k=block_k)
+        # same values modulo FMA formation: the two lowerings produce
+        # the same operand reads and association order, but the compiler
+        # may fuse mul+add into fma differently across the two graphs —
+        # low-bit-only drift, far inside the tier's 1e-5 lax-parity bar
+        for a, b in zip(outs[0], outs[10 ** 9]):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(a).max()))
+            assert np.abs(a - b).max() <= 1e-7 * scale
+
+    def test_roll_lowering_matches_slice_form_rtm_kstep(self, monkeypatch):
+        """rtm_shot_snapshot_tiled (the K-blocked GPU-suite fwd+bwd+
+        imaging kernels) under the roll lowering is bit-identical to the
+        slice lowering."""
+        import parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            as strm
+        from parallel_finite_difference_computation_tpu.solver import (
+            rtm_shot_snapshot_tiled)
+        rng = np.random.default_rng(9)
+        outs = {}
+        for thr in (10 ** 9, 0):
+            ctx = _ctx()  # fresh identity-hashed ctx -> fresh jit trace
+            v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+                  ).astype(np.float32) ** 2
+            rng = np.random.default_rng(9)
+            v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+                  ).astype(np.float32) ** 2
+            wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
+            dobs = jnp.asarray(
+                rng.standard_normal((ctx.nx, ctx.nt)).astype(np.float32))
+            monkeypatch.setattr(strm, "_ROLL_LANES_MIN", thr)
+            outs[thr] = np.asarray(rtm_shot_snapshot_tiled(
+                ctx, jnp.asarray(v2), wav, dobs, ctx.nxb + 10,
+                ctx.nzb + 3, ctx.nzb + 1, tile_rows=16, interpret=True,
+                block_k=3))
+        a, b = outs[0], outs[10 ** 9]
+        scale = max(1.0, float(np.abs(a).max()))
+        assert np.abs(a - b).max() <= 1e-7 * scale  # FMA formation only
