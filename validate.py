@@ -329,7 +329,7 @@ def config6d_mxu_fast_path(quick: bool = False):
         gpu_goldens)
     runs = ([("3lay_gpu", "mxu")] if quick else
             [("3lay_gpu", "mxu"), ("marmousi", "mxu"),
-             ("marmousi", "mxu6")])
+             ("marmousi", "mxu6"), ("marmousi", "auto")])
     import warnings
     for name, impl in runs:
         with warnings.catch_warnings():
@@ -361,9 +361,13 @@ def config6d_mxu_fast_path(quick: bool = False):
             r = rel_rms(np.asarray(img), golden)
             rs = max(rel_rms(np.asarray(imlocs[i]), gims[i])
                      for i in range(p.ns))
-            if name == "3lay_gpu" or impl == "mxu6":
+            if name == "3lay_gpu" or impl in ("mxu6", "auto"):
+                # "auto" on marmousi must route to the 6-pass tier and
+                # clear 1e-4 without the user knowing mxu6 exists
                 ok = r < GATE and rs < GATE
-                bar = f"1e-4 parity bar (headline-eligibility)"
+                bar = ("1e-4 parity bar (headline-eligibility)"
+                       if impl != "auto" else
+                       "1e-4 bar via envelope routing (auto -> mxu6)")
             else:
                 # marmousi/mxu: the documented 3-pass limitation — must
                 # stay within the measured envelope, and the row pins the
