@@ -543,12 +543,21 @@ def _injection_slab(inj48_ref, win0_ref, injslab_ref, i, n_tx, tx, hk,
 
 
 def _lap_x_slab(x, order, cx):
-    """x (sublane) taps of a slab on rows ``[h, S-h)``, full lane width,
-    zero-padded back to S rows — edge rows get lap 0 instead of a value,
-    which only relocates the invalidation front the K-step contract
-    already discards (see :func:`_kstep_kernel`)."""
+    """x (sublane) taps of a slab, full lane width. On wide frames
+    (>= _ROLL_LANES_MIN lanes) the taps are whole-frame sublane rolls —
+    edge rows then hold wrap values instead of the slice form's zero
+    pad, which only relocates the invalidation front the K-step
+    contract already discards (see :func:`_kstep_kernel`); interior
+    rows read identical operands in the same association order. Narrow
+    frames keep per-tap slices (rolls measured 1.6x worse there)."""
     S, W = x.shape
     h = order // 2
+    if W >= _ROLL_LANES_MIN:
+        acc = None
+        for k in range(h, 0, -1):
+            term = cx[h + k] * (jnp.roll(x, k, 0) + jnp.roll(x, -k, 0))
+            acc = term if acc is None else acc + term
+        return acc + cx[h] * x
     rx = S - order
     c = jax.lax.slice(x, (h, 0), (h + rx, W))
     acc = None

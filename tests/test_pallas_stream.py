@@ -519,3 +519,33 @@ class TestRollLowering:
         a, b = outs[0], outs[10 ** 9]
         scale = max(1.0, float(np.abs(a).max()))
         assert np.abs(a - b).max() <= 1e-7 * scale  # FMA formation only
+
+    @pytest.mark.parametrize("lap_impl", ["mxu", "mxu6"])
+    def test_roll_lowering_matches_slice_form_kstep_mxu(self, monkeypatch,
+                                                        lap_impl):
+        """The MXU K-step path's sublane taps under the roll lowering
+        (_lap_x_slab wide-frame branch, threshold forced to 0) match the
+        slice lowering — same FMA-formation-only bar as the exact
+        path."""
+        import parallel_finite_difference_computation_tpu.ops.pallas_stream \
+            as strm
+        rng = np.random.default_rng(11)
+        v2 = None
+        outs = {}
+        for thr in (10 ** 9, 0):
+            ctx = _ctx()
+            if v2 is None:
+                v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+                      ).astype(np.float32) ** 2
+                wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001,
+                                                          30.0))
+            sx, sz, gz = ctx.nxb + 10, ctx.nzb + 3, ctx.nzb + 1
+            monkeypatch.setattr(strm, "_ROLL_LANES_MIN", thr)
+            outs[thr] = forward_modeling_tiled(
+                ctx, jnp.asarray(v2), wav, sx, sz, gz, source="gaussian",
+                tile_rows=32, interpret=True, block_k=3,
+                lap_impl=lap_impl)
+        for a, b in zip(outs[0], outs[10 ** 9]):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(a).max()))
+            assert np.abs(a - b).max() <= 1e-7 * scale
