@@ -615,7 +615,7 @@ def rtm_snapshot_pallas(ctx: FDContext, v2, wavelet, dobs, sx, sz: int,
     data (interior receivers); ``sz``/``gz`` static ints, ``sx`` traced.
     Returns the (nx, nz) per-shot image.
 
-    ``lap_impl``: None reads ``PFDC_LAP_IMPL``; ``"mxu"`` pads the lane
+    ``lap_impl``: None uses the import-time ``PFDC_LAP_IMPL`` snapshot; ``"mxu"`` pads the lane
     (x) axis to a 128 multiple and computes the x taps as banded MXU
     matmuls (manual 3-pass bf16 — see :func:`_make_lap`); the pad lanes
     carry zero mask/v2 so the fields stay exactly zero there. ``"mxu6"``

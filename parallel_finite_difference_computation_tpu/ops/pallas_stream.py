@@ -115,7 +115,7 @@ def fd_step_padded(p_pad, pp_pad, v2_pad, mask_pad, coefs_x, coefs_z,
     ``(p', pp') = (p*mask, (2p - pp + v2*dt2*lap(p))*mask)``. All operands
     share the layout of :func:`padded_layout(nxe, nze, order, tile_rows)`;
     pads provably stay zero (p = pp = mask = 0 there), so the output feeds
-    the next step directly. ``lap_impl``: None reads ``PFDC_LAP_IMPL``;
+    the next step directly. ``lap_impl``: None uses the import-time ``PFDC_LAP_IMPL`` snapshot;
     ``"mxu"`` computes the z lane-taps as banded MXU matmuls (manual
     3-pass bf16, ~5e-6 — see PALLAS_NOTES "z-taps on the MXU");
     ``"mxu6"`` the 6-pass triple-split variant (~f32-level)."""
