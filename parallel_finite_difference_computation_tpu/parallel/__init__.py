@@ -16,3 +16,7 @@ from .domain_pallas import (
     halo_exchange_lanes, make_sharded_rtm_snapshot_pallas,
     make_sharded_forward_modeling_pallas,
 )
+from .domain2d_pallas import (
+    halo_exchange_2d, make_sharded_rtm_snapshot_2d_pallas,
+    make_sharded_forward_modeling_2d_pallas,
+)

@@ -258,12 +258,20 @@ def _run_modeling_domain(p: Params, ctx, g, wav, vel2, mesh, backend,
                             (len(sx_pad),) + np.asarray(vel2).shape).copy()
 
     run_pallas = None
+    h = ctx.order // 2
     if _use_pallas(backend) and n_z == 1:
-        # the blocked Pallas kernels decompose x only; z-sharded meshes
-        # run the 2D lax formulation below
-        h = ctx.order // 2
         block_k = max(1, min(8, (ctx.nxe // n_x) // h, ctx.nt))
         fn_pl = make_sharded_forward_modeling_pallas(
+            ctx, mesh, g.sz, g.gz, source="gaussian", taper="all",
+            block_k=block_k, lap_impl=lap_impl)
+        run_pallas = lambda: fn_pl(v_pad, sx_pad, wav)
+    elif _use_pallas(backend):
+        # z-sharded meshes: 2D blocked kernels (both-axis K*h halos)
+        from .parallel.domain2d_pallas import (
+            make_sharded_forward_modeling_2d_pallas)
+        block_k = max(1, min(8, (ctx.nxe // n_x) // h,
+                             (ctx.nze // n_z) // h, ctx.nt))
+        fn_pl = make_sharded_forward_modeling_2d_pallas(
             ctx, mesh, g.sz, g.gz, source="gaussian", taper="all",
             block_k=block_k, lap_impl=lap_impl)
         run_pallas = lambda: fn_pl(v_pad, sx_pad, wav)
@@ -595,15 +603,23 @@ def _run_rtm_gpu_domain(p: Params, ctx, g, wav, vel2, dobs, mesh, backend,
     d_ext = embed_dobs(ctx, d_pad)
 
     run_pallas = None
+    h = ctx.order // 2
     if _use_pallas(backend) and n_z == 1:
-        # the blocked Pallas kernels decompose x only; z-sharded meshes
-        # run the 2D lax formulation below
-        h = ctx.order // 2
         block_k = min(8, (ctx.nxe // n_x) // h, ctx.nt // 2)
         if block_k >= 2:  # K<2 cannot seed both snapshots; lax handles it
             fn_pl = make_sharded_rtm_snapshot_pallas(ctx, mesh, g.sz, g.gz,
                                                      block_k=block_k,
                                                      lap_impl=lap_impl)
+            run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
+    elif _use_pallas(backend):
+        # z-sharded meshes: 2D blocked kernels (both-axis K*h halos)
+        from .parallel.domain2d_pallas import (
+            make_sharded_rtm_snapshot_2d_pallas)
+        block_k = min(8, (ctx.nxe // n_x) // h, (ctx.nze // n_z) // h,
+                      ctx.nt // 2)
+        if block_k >= 2:
+            fn_pl = make_sharded_rtm_snapshot_2d_pallas(
+                ctx, mesh, g.sz, g.gz, block_k=block_k, lap_impl=lap_impl)
             run_pallas = lambda: fn_pl(v_pad, sx_pad, wav, d_ext)
     if n_z > 1:
         fn_lax = make_sharded_rtm_snapshot_2d(ctx, mesh, g.gz)

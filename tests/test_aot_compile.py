@@ -250,6 +250,78 @@ class TestMultiChip:
         jax.jit(fn).lower(*sds).compile()
 
 
+    def test_domain2d_rtm_8chip(self, rng_mod):
+        """AOT-compile the shot + 2D (x, z)-domain blocked-Pallas RTM
+        (per-axis ppermute halo exchange, dynamic-sublane acquisition rows)
+        for a 2x2x2 mesh on a v5e 2x4 slice — the pod-scale tier's real
+        TPU lowering."""
+        try:
+            from jax.experimental import topologies
+            topo = topologies.get_topology_desc("v5e:2x4x1", "tpu")
+        except Exception as e:
+            pytest.skip(f"TPU AOT topology unavailable: {e}")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_mesh)
+        from parallel_finite_difference_computation_tpu.parallel.\
+            domain2d_pallas import make_sharded_rtm_snapshot_2d_pallas
+
+        mesh = make_mesh(n_shot=2, n_x=2, n_z=2,
+                         devices=list(topo.devices))
+        nxb = nzb = 8
+        ctx = FDContext.create(32, 16, 8, dx=10.0, dz=10.0, dt=0.001,
+                               order=8, nxb=nxb, nzb=nzb, fac=0.7)
+        ns = 4
+        fn = make_sharded_rtm_snapshot_2d_pallas(ctx, mesh, sz=nzb + 2,
+                                                 gz=nzb + 1, block_k=2)
+        sds = [
+            jax.ShapeDtypeStruct(
+                (ns, ctx.nxe, ctx.nze), jnp.float32,
+                sharding=NamedSharding(mesh, P("shot", "x", "z"))),
+            jax.ShapeDtypeStruct((ns,), jnp.int32,
+                                 sharding=NamedSharding(mesh, P("shot"))),
+            jax.ShapeDtypeStruct((ctx.nt,), jnp.float32,
+                                 sharding=NamedSharding(mesh, P())),
+            jax.ShapeDtypeStruct(
+                (ns, ctx.nxe, ctx.nt), jnp.float32,
+                sharding=NamedSharding(mesh, P("shot", "x"))),
+        ]
+        jax.jit(fn).lower(*sds).compile()
+
+    def test_shot_sharded_streaming_rtm_8chip(self, rng_mod):
+        """AOT-compile the shot-sharded temporally-blocked streaming RTM
+        (the beyond-VMEM production tier) for all 8 chips of a v5e 2x4
+        slice — shard_map around the K-step Mosaic kernels."""
+        try:
+            from jax.experimental import topologies
+            topo = topologies.get_topology_desc("v5e:2x4x1", "tpu")
+        except Exception as e:
+            pytest.skip(f"TPU AOT topology unavailable: {e}")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_mesh)
+        from parallel_finite_difference_computation_tpu.parallel.shots \
+            import make_sharded_rtm_tiled
+
+        mesh = make_mesh(n_shot=8, devices=list(topo.devices))
+        ctx = FDContext.create(268, 228, 8, dx=10.0, dz=10.0, dt=0.001,
+                               order=8, nxb=16, nzb=16, fac=0.7)
+        ns = 8
+        fn = make_sharded_rtm_tiled(ctx, mesh, sz=18, gz=17, tile_rows=32,
+                                    block_k=4)
+        sds = [
+            jax.ShapeDtypeStruct((ns, ctx.nxe, ctx.nze), jnp.float32,
+                                 sharding=NamedSharding(mesh, P("shot"))),
+            jax.ShapeDtypeStruct((ns, ctx.nx, ctx.nt), jnp.float32,
+                                 sharding=NamedSharding(mesh, P("shot"))),
+            jax.ShapeDtypeStruct((ns,), jnp.int32,
+                                 sharding=NamedSharding(mesh, P("shot"))),
+            jax.ShapeDtypeStruct((ctx.nt,), jnp.float32,
+                                 sharding=NamedSharding(mesh, P())),
+        ]
+        jax.jit(fn).lower(*sds).compile()
+
+
 class TestStreamingKernels:
     def test_fd_step_padded(self, tpu_sharding, rng_mod):
         from parallel_finite_difference_computation_tpu.ops.pallas_stream \
