@@ -305,6 +305,53 @@ def bench_rtm_domain2d_slope(nts=(501, 4501)):
     return (ts[nts[1]] - ts[nts[0]]) / (nts[1] - nts[0]) * 1e6
 
 
+def bench_rtm_domain2d_pallas_slope(nts=(501, 4501), block_k: int = 8,
+                                    lap_impl=None, force_halo=False):
+    """Sustained per-step cost of the 2D (x, z) decomposition's blocked
+    Pallas tier (:mod:`..parallel.domain2d_pallas`) on a 1x1x1 mesh — the
+    single-chip proxy comparable to the 1D blocked tier's recorded slope.
+
+    With the default routing, single-shard axes carry no halo, so the
+    1x1x1 run measures what production would actually execute on this
+    mesh (the kernel degenerates toward the whole-shot cost). With
+    ``force_halo=True`` both K*h halos stay — the redundant-compute proxy
+    for what an interior device of a large (x, z) block pays per step
+    (its per-axis ppermute latency is modelled in PALLAS_NOTES; not
+    measurable on one chip).
+
+    Returns domain2d_pallas_us_per_step."""
+    import dataclasses
+    from jax.sharding import Mesh
+    from parallel_finite_difference_computation_tpu.parallel import (
+        embed_dobs)
+    from parallel_finite_difference_computation_tpu.parallel.domain2d_pallas \
+        import make_sharded_rtm_snapshot_2d_pallas
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                ("shot", "x", "z"))
+    p0, vp, _ = _load_3lay()
+    base = pipeline.prepare_velocity_cpu(p0, vp)
+    rng = np.random.default_rng(0)
+    ts = {}
+    for nt in nts:
+        p = dataclasses.replace(p0, nt=nt)
+        ctx = FDContext.from_params(p, exact_taper=False)
+        g = p.geometry()
+        wav = jnp.asarray(numerics.ricker_wavelet(p.nt, p.dt, p.fpeak,
+                                                  truncated=True))
+        dobs = rng.standard_normal((p.nx, p.nt)).astype(np.float32)
+        fn = make_sharded_rtm_snapshot_2d_pallas(ctx, mesh, g.sz, g.gz,
+                                                 block_k=block_k,
+                                                 lap_impl=lap_impl,
+                                                 force_halo=force_halo)
+        d_ext = jax.device_put(embed_dobs(ctx, dobs[None]))
+        sxs = jax.device_put(np.asarray([g.sx[0]], np.int32))
+        v2s = [jax.device_put(np.stack([base * (1 + 1e-7 * i)]))
+               for i in range(-4, 6)]
+        mk = lambda i: (v2s[i + 4], sxs, wav, d_ext)
+        ts[nt] = _prof_timeit(mk, fn, warmup=2, iters=5)
+    return (ts[nts[1]] - ts[nts[0]]) / (nts[1] - nts[0]) * 1e6
+
+
 def bench_rtm_shotshard_stream_slope(nts=(201, 1001), block_k: int = 4):
     """Sustained per-step cost of the shot-sharded beyond-VMEM streaming
     RTM tier (:func:`..parallel.shots.make_sharded_rtm_tiled`) on a
@@ -791,6 +838,22 @@ def _main_body():
                     us_2d / us_ws0)
         except Exception as e:
             details["rtm_3lay_domain2d_slope_error"] = str(e)[:200]
+        try:
+            # 2D (x, z) blocked Pallas tier (domain2d_pallas): the pod-scale
+            # production kernels, exact + MXU taps, same 1x1x1 proxy.
+            # Routed = per-axis halos (none on single-shard axes: what this
+            # mesh actually runs); halo = force_halo interior-device proxy.
+            us_2dp = bench_rtm_domain2d_pallas_slope()
+            details["rtm_3lay_domain2d_pallas_nx1nz1_us_per_step_slope"] = (
+                us_2dp)
+            us_2dph = bench_rtm_domain2d_pallas_slope(force_halo=True)
+            details["rtm_3lay_domain2d_pallas_halo_us_per_step_slope"] = (
+                us_2dph)
+            us_2dpm = bench_rtm_domain2d_pallas_slope(lap_impl="mxu")
+            details["rtm_3lay_domain2d_pallas_mxu_nx1nz1_us_per_step_slope"] \
+                = us_2dpm
+        except Exception as e:
+            details["rtm_3lay_domain2d_pallas_slope_error"] = str(e)[:200]
         try:
             # shot-sharded streaming tier: 1-device shot mesh vs the same
             # kernels unsharded (the wrapper-cost proxy)

@@ -55,16 +55,23 @@ __all__ = ["make_sharded_rtm_snapshot_2d_pallas",
            "make_sharded_forward_modeling_2d_pallas", "halo_exchange_2d"]
 
 
-def halo_exchange_2d(field, H: int, n_z: int, n_x: int, pad_to: int = 0):
-    """(nzl, nxl) z-major local tile -> (nzl + 2H, nxl + 2H [+lane pad])
-    with H halo rows/lanes from every axis neighbour. Two-stage exchange:
-    z (sublanes) first, then x (lanes) of the already-z-extended tile —
-    the x messages carry the z-halo rows, so corner (diagonal-neighbour)
-    cells arrive without a dedicated diagonal ``ppermute``. Global-edge
-    halos are zero (``ppermute`` non-target fill), matching the unsharded
-    kernels' zero border."""
-    ez = halo_exchange_axis(field, H, 0, "z", n_z)
-    return halo_exchange_lanes(ez, H, "x", n_x, pad_to=pad_to)
+def halo_exchange_2d(field, Hz: int, Hx: int, n_z: int, n_x: int,
+                     pad_to: int = 0):
+    """(nzl, nxl) z-major local tile -> (nzl + 2Hz, nxl + 2Hx [+lane pad])
+    with per-axis halo rows/lanes from every axis neighbour. Two-stage
+    exchange: z (sublanes) first, then x (lanes) of the already-z-extended
+    tile — the x messages carry the z-halo rows, so corner
+    (diagonal-neighbour) cells arrive without a dedicated diagonal
+    ``ppermute``. Global-edge halos are zero (``ppermute`` non-target
+    fill), matching the unsharded kernels' zero border. An axis with a
+    zero halo width is skipped entirely (single-shard axes: the tile edge
+    IS the global edge, where the zero border is already correct)."""
+    ez = (halo_exchange_axis(field, Hz, 0, "z", n_z) if Hz else field)
+    if Hx == 0:
+        if pad_to > ez.shape[-1]:
+            ez = jnp.pad(ez, ((0, 0), (0, pad_to - ez.shape[-1])))
+        return ez
+    return halo_exchange_lanes(ez, Hx, "x", n_x, pad_to=pad_to)
 
 
 def _block2_vmem_params(nzw: int, nxw: int, n_bufs: int,
@@ -89,7 +96,7 @@ def _block2_vmem_params(nzw: int, nxw: int, n_bufs: int,
 # Block kernels (z-major; sublanes = nzw = nzl + 2H, lanes = nxw = nxl + 2H)
 # --------------------------------------------------------------------------
 
-def _fwd2_block_kernel(ctx, K: int, nzl: int, nxl: int, H: int,
+def _fwd2_block_kernel(ctx, K: int, nzl: int, nxl: int, Hz: int, Hx: int,
                        use_mxu: bool,
                        zi_ref, v2m_ref, mask_ref, src_ref, wav_ref, *rest):
     """K forward steps (fd-code.cu:259-267 semantics) on the double-halo-
@@ -110,11 +117,12 @@ def _fwd2_block_kernel(ctx, K: int, nzl: int, nxl: int, H: int,
         src[:, :] = sm
         dst[pl.ds(szl, 1), :] += wav_ref[k, 0] * src_ref[:, :]
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
-    p_out[:, :] = pX[H:H + nzl, H:H + nxl]
-    pp_out[:, :] = pY[H:H + nzl, H:H + nxl]
+    p_out[:, :] = pX[Hz:Hz + nzl, Hx:Hx + nxl]
+    pp_out[:, :] = pY[Hz:Hz + nzl, Hx:Hx + nxl]
 
 
-def _bwd2_block_kernel(ctx, K: int, nzl: int, nxl: int, H: int, seed: bool,
+def _bwd2_block_kernel(ctx, K: int, nzl: int, nxl: int, Hz: int, Hx: int,
+                       seed: bool,
                        use_mxu: bool,
                        zi_ref, v2m_ref, mask_ref, dobs_ref, *refs):
     """K backward steps (fd-code.cu:302-333 semantics): source pair
@@ -160,14 +168,14 @@ def _bwd2_block_kernel(ctx, K: int, nzl: int, nxl: int, H: int, seed: bool,
 
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
     rU, rV = (U, V) if K % 2 == 0 else (V, U)
-    p_out[:, :] = pX[H:H + nzl, H:H + nxl]
-    pp_out[:, :] = pY[H:H + nzl, H:H + nxl]
-    pr_out[:, :] = rU[H:H + nzl, H:H + nxl]
-    ppr_out[:, :] = rV[H:H + nzl, H:H + nxl]
-    im_ref[:, :] = IM[H:H + nzl, H:H + nxl]
+    p_out[:, :] = pX[Hz:Hz + nzl, Hx:Hx + nxl]
+    pp_out[:, :] = pY[Hz:Hz + nzl, Hx:Hx + nxl]
+    pr_out[:, :] = rU[Hz:Hz + nzl, Hx:Hx + nxl]
+    ppr_out[:, :] = rV[Hz:Hz + nzl, Hx:Hx + nxl]
+    im_ref[:, :] = IM[Hz:Hz + nzl, Hx:Hx + nxl]
 
 
-def _mod2_block_kernel(ctx, K: int, nzl: int, nxl: int, H: int,
+def _mod2_block_kernel(ctx, K: int, nzl: int, nxl: int, Hz: int, Hx: int,
                        use_mxu: bool,
                        zi_ref, v2m_ref, mask_ref, srcf_ref, wav_ref, *rest):
     """K forward-modeling steps (``mod_main.cpp:146-168`` semantics:
@@ -190,21 +198,25 @@ def _mod2_block_kernel(ctx, K: int, nzl: int, nxl: int, H: int,
         upd = (2.0 * p - dst[:, :] + v2m_ref[:, :] * lap(p))
         dst[:, :] = (upd + wav_ref[k, 0] * srcf_ref[:, :]) * mask_ref[:, :]
         src[:, :] = p * mask_ref[:, :]
-        seis_ref[k:k + 1, :] = src[pl.ds(gzl, 1), H:H + nxl]
+        seis_ref[k:k + 1, :] = src[pl.ds(gzl, 1), Hx:Hx + nxl]
     pX, pY = (X, Y) if K % 2 == 0 else (Y, X)
-    p_out[:, :] = pX[H:H + nzl, H:H + nxl]
-    pp_out[:, :] = pY[H:H + nzl, H:H + nxl]
+    p_out[:, :] = pX[Hz:Hz + nzl, Hx:Hx + nxl]
+    pp_out[:, :] = pY[Hz:Hz + nzl, Hx:Hx + nxl]
 
 
 # --------------------------------------------------------------------------
 # Shared wrapper pieces
 # --------------------------------------------------------------------------
 
-def _tile2(ctx: FDContext, mesh: Mesh, block_k: int, lap_impl):
-    """Resolve the 2D blocked tiling: local tile (nzl, nxl), halo H = K*h,
-    extended slab (nzw, nxww) with the MXU lane pad, zero-padded global
-    sizes. Raises when the halo cannot fit a one-hop exchange on either
-    axis."""
+def _tile2(ctx: FDContext, mesh: Mesh, block_k: int, lap_impl,
+           force_halo: bool = False):
+    """Resolve the 2D blocked tiling: local tile (nzl, nxl), per-axis halo
+    widths Hz/Hx (= K*h on axes with neighbours, 0 on single-shard axes —
+    their tile edge is the global edge, so no redundant recomputation is
+    paid; ``force_halo`` keeps both halos regardless, the benchmark's
+    halo-cost proxy), extended slab (nzw, nxww) with the MXU lane pad, and
+    zero-padded global sizes. Raises when a halo cannot fit a one-hop
+    exchange on its axis."""
     n_x, n_z = mesh.shape["x"], mesh.shape["z"]
     nxe_pad = -(-ctx.nxe // n_x) * n_x
     nze_pad = -(-ctx.nze // n_z) * n_z
@@ -212,21 +224,22 @@ def _tile2(ctx: FDContext, mesh: Mesh, block_k: int, lap_impl):
     nzl = nze_pad // n_z
     h = ctx.order // 2
     K = int(block_k)
-    H = K * h
-    if H > min(nxl, nzl):
+    Hx = K * h if (n_x > 1 or force_halo) else 0
+    Hz = K * h if (n_z > 1 or force_halo) else 0
+    if Hx > nxl or Hz > nzl:
         raise ValueError(
-            f"halo width K*h={H} exceeds the local tile ({nzl}x{nxl}); a "
-            f"single ppermute only reaches the adjacent neighbour — lower "
-            f"block_k to <= {min(nxl, nzl) // h} or use fewer shards")
+            f"halo width K*h={K * h} exceeds the local tile ({nzl}x{nxl});"
+            f" a single ppermute only reaches the adjacent neighbour — "
+            f"lower block_k to <= {min(nxl, nzl) // h} or use fewer shards")
     use_mxu = _use_mxu_lap(lap_impl, ctx)
-    nzw = nzl + 2 * H
-    nxw = nxl + 2 * H
+    nzw = nzl + 2 * Hz
+    nxw = nxl + 2 * Hx
     nxww = -(-nxw // 128) * 128 if use_mxu else nxw
-    return n_x, n_z, nxe_pad, nze_pad, nxl, nzl, h, K, H, nzw, nxw, nxww, \
-        use_mxu
+    return n_x, n_z, nxe_pad, nze_pad, nxl, nzl, h, K, Hz, Hx, nzw, nxw, \
+        nxww, use_mxu
 
 
-def _static_operands_2d(ctx, mask_glob, v2, n_x, n_z, nxl, nzl, h, H,
+def _static_operands_2d(ctx, mask_glob, v2, n_x, n_z, nxl, nzl, h, Hz, Hx,
                         nzw, nxw, nxww):
     """Per-device halo-extended static operands (z-major): the taper mask,
     the interior-masked dt2-folded v2, and the global-coordinate index
@@ -236,15 +249,15 @@ def _static_operands_2d(ctx, mask_glob, v2, n_x, n_z, nxl, nzl, h, H,
     x0 = xi * nxl
     z0 = zi * nzl
     idx = jnp.arange(nxww)
-    glob_x = x0 - H + idx
+    glob_x = x0 - Hx + idx
     valid_x = idx < nxw
     lane = ((glob_x >= h) & (glob_x < ctx.nxe - h)
             & valid_x).astype(jnp.float32)
-    glob_z = z0 - H + jnp.arange(nzw)
+    glob_z = z0 - Hz + jnp.arange(nzw)
     zrow = ((glob_z >= h) & (glob_z < ctx.nze - h)).astype(jnp.float32)
     mask_l = jax.lax.dynamic_slice(mask_glob, (x0, z0), (nxl, nzl))
-    mask_e = halo_exchange_2d(mask_l.T, H, n_z, n_x, pad_to=nxww)
-    v2_e = halo_exchange_2d(v2.T, H, n_z, n_x, pad_to=nxww)
+    mask_e = halo_exchange_2d(mask_l.T, Hz, Hx, n_z, n_x, pad_to=nxww)
+    v2_e = halo_exchange_2d(v2.T, Hz, Hx, n_z, n_x, pad_to=nxww)
     # full interior mask folded into v2 (x via lanes, z via sublanes):
     # v2m * laplacian_full == v2 * zero-bordered laplacian exactly
     v2m_e = v2_e * lane[None, :] * zrow[:, None] * jnp.float32(ctx.dt2)
@@ -262,6 +275,16 @@ def _local_row(z_target: int, z0, H: int, nzw: int):
     return row.astype(jnp.int32).reshape(1), on
 
 
+def _ext_lanes(a, Hx: int, n_x: int, pad_to: int):
+    """Lane-axis halo extension of a (rows, nxl) operand (zero-width safe:
+    pads only)."""
+    if Hx == 0:
+        if pad_to > a.shape[-1]:
+            a = jnp.pad(a, ((0, 0), (0, pad_to - a.shape[-1])))
+        return a
+    return halo_exchange_lanes(a, Hx, "x", n_x, pad_to=pad_to)
+
+
 def _pad_mask_glob(ctx, px, pz, mask_np):
     return jnp.asarray(np.pad(np.asarray(mask_np), ((0, px), (0, pz))))
 
@@ -273,7 +296,8 @@ def _pad_mask_glob(ctx, px, pz, mask_np):
 def make_sharded_rtm_snapshot_2d_pallas(ctx: FDContext, mesh: Mesh, sz: int,
                                         gz: int, block_k: int = 8,
                                         interpret: bool = False,
-                                        lap_impl=None):
+                                        lap_impl=None,
+                                        force_halo: bool = False):
     """Shot + 2D (x, z)-domain-parallel two-snapshot RTM with blocked VMEM
     Pallas kernels and per-axis ``ppermute`` halo exchange every
     ``block_k`` steps.
@@ -284,9 +308,13 @@ def make_sharded_rtm_snapshot_2d_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     (ns, nxe, nze), ``sxs`` (ns,) int32 absolute source lanes, ``dobs_ext``
     (ns, nxe, nt) (:func:`.domain.embed_dobs`), and ``imloc_ext``
     (ns, nxe, nze) extended per-shot images. ``nt`` must be >= 2*block_k.
+
+    Single-shard axes carry no halo (their tile edge is the global edge);
+    ``force_halo=True`` keeps both K*h halos regardless — the benchmark's
+    halo-redundancy proxy on small meshes.
     """
-    (n_x, n_z, nxe_pad, nze_pad, nxl, nzl, h, K, H, nzw, nxw, nxww,
-     use_mxu) = _tile2(ctx, mesh, block_k, lap_impl)
+    (n_x, n_z, nxe_pad, nze_pad, nxl, nzl, h, K, Hz, Hx, nzw, nxw, nxww,
+     use_mxu) = _tile2(ctx, mesh, block_k, lap_impl, force_halo)
     if K < 2:
         raise ValueError("block_k must be >= 2: the first backward block "
                          "seeds BOTH snapshots (steps 0 and 1)")
@@ -307,7 +335,7 @@ def make_sharded_rtm_snapshot_2d_pallas(ctx: FDContext, mesh: Mesh, sz: int,
 
     def _fwd_call(k_steps):
         kern = functools.partial(_fwd2_block_kernel, ctx, k_steps, nzl, nxl,
-                                 H, use_mxu)
+                                 Hz, Hx, use_mxu)
         return pl.pallas_call(
             kern,
             out_shape=(tile, tile),
@@ -320,7 +348,7 @@ def make_sharded_rtm_snapshot_2d_pallas(ctx: FDContext, mesh: Mesh, sz: int,
 
     def _bwd_call(k_steps, seed):
         kern = functools.partial(_bwd2_block_kernel, ctx, k_steps, nzl, nxl,
-                                 H, seed, use_mxu)
+                                 Hz, Hx, seed, use_mxu)
         n_in = 3 + len(mxu_in) + (2 if seed else 0) + 4
         return pl.pallas_call(
             kern,
@@ -334,18 +362,18 @@ def make_sharded_rtm_snapshot_2d_pallas(ctx: FDContext, mesh: Mesh, sz: int,
     def body(v2, sx, dobs_ext, wavelet):
         (x0, z0, glob_x, valid_x, glob_z, mask_e, v2m_e
          ) = _static_operands_2d(ctx, mask_glob, v2, n_x, n_z, nxl, nzl, h,
-                                 H, nzw, nxw, nxww)
-        szl, s_on = _local_row(sz, z0, H, nzw)
-        gzl, g_on = _local_row(gz, z0, H, nzw)
+                                 Hz, Hx, nzw, nxw, nxww)
+        szl, s_on = _local_row(sz, z0, Hz, nzw)
+        gzl, g_on = _local_row(gz, z0, Hz, nzw)
         src_row = ((glob_x == sx) & valid_x
                    & s_on).astype(jnp.float32)[None, :]
-        dobs_e = (halo_exchange_lanes(dobs_ext.T, H, "x", n_x, pad_to=nxww)
+        dobs_e = (_ext_lanes(dobs_ext.T, Hx, n_x, nxww)
                   * g_on.astype(jnp.float32))        # (nt, nxww)
         wav2 = wavelet.reshape(ctx.nt, 1)
         zc = jnp.zeros((nzl, nxl), jnp.float32)
 
         def ext(f):
-            return halo_exchange_2d(f, H, n_z, n_x, pad_to=nxww)
+            return halo_exchange_2d(f, Hz, Hx, n_z, n_x, pad_to=nxww)
 
         # ---- forward: nb blocks of K + tail ----
         fwd_k = _fwd_call(K)
@@ -395,10 +423,10 @@ def make_sharded_rtm_snapshot_2d_pallas(ctx: FDContext, mesh: Mesh, sz: int,
             im = im + d
 
         # K6 interior restriction distributes over the step sum exactly
-        im_x = ((glob_x[H:H + nxl] >= ctx.nxb)
-                & (glob_x[H:H + nxl] < ctx.nxe - ctx.nxb))
-        im_z = ((glob_z[H:H + nzl] >= ctx.nzb)
-                & (glob_z[H:H + nzl] < ctx.nze - ctx.nzb))
+        im_x = ((glob_x[Hx:Hx + nxl] >= ctx.nxb)
+                & (glob_x[Hx:Hx + nxl] < ctx.nxe - ctx.nxb))
+        im_z = ((glob_z[Hz:Hz + nzl] >= ctx.nzb)
+                & (glob_z[Hz:Hz + nzl] < ctx.nze - ctx.nzb))
         im = im * (im_z[:, None] & im_x[None, :]).astype(jnp.float32)
         return im.T  # back to x-major (nxl, nzl)
 
@@ -428,15 +456,17 @@ def make_sharded_forward_modeling_2d_pallas(ctx: FDContext, mesh: Mesh,
                                             taper: str = "all",
                                             block_k: int = 8,
                                             interpret: bool = False,
-                                            lap_impl=None):
+                                            lap_impl=None,
+                                            force_halo: bool = False):
     """Shot + 2D (x, z)-domain-parallel forward modeling with blocked VMEM
     kernels — ``mod_main`` at pod scale. Same contract as
     :func:`.domain_pallas.make_sharded_forward_modeling_pallas`:
     ``fn(v2, sxs, wavelet) -> seis`` with ``v2`` (ns, nxe, nze), ``sxs``
     (ns,) absolute source lanes, ``seis`` (ns, nt, nxe) extended-row
-    seismograms."""
-    (n_x, n_z, nxe_pad, nze_pad, nxl, nzl, h, K, H, nzw, nxw, nxww,
-     use_mxu) = _tile2(ctx, mesh, block_k, lap_impl)
+    seismograms. Single-shard axes carry no halo; ``force_halo=True``
+    keeps both (see the RTM wrapper)."""
+    (n_x, n_z, nxe_pad, nze_pad, nxl, nzl, h, K, Hz, Hx, nzw, nxw, nxww,
+     use_mxu) = _tile2(ctx, mesh, block_k, lap_impl, force_halo)
     px, pz = nxe_pad - ctx.nxe, nze_pad - ctx.nze
     mxu_in = list(_mxu_band_inputs(ctx, nxww, use_mxu)) if use_mxu else []
     nb, tail = divmod(ctx.nt, K)
@@ -451,7 +481,7 @@ def make_sharded_forward_modeling_2d_pallas(ctx: FDContext, mesh: Mesh,
 
     def _call(k_steps):
         kern = functools.partial(_mod2_block_kernel, ctx, k_steps, nzl, nxl,
-                                 H, use_mxu)
+                                 Hz, Hx, use_mxu)
         return pl.pallas_call(
             kern,
             out_shape=(jax.ShapeDtypeStruct((k_steps, nxl), jnp.float32),
@@ -466,8 +496,8 @@ def make_sharded_forward_modeling_2d_pallas(ctx: FDContext, mesh: Mesh,
     def body(v2, sx, wavelet):
         (x0, z0, glob_x, valid_x, glob_z, mask_e, v2m_e
          ) = _static_operands_2d(ctx, mask_glob, v2, n_x, n_z, nxl, nzl, h,
-                                 H, nzw, nxw, nxww)
-        gzl, _ = _local_row(gz, z0, H, nzw)
+                                 Hz, Hx, nzw, nxw, nxww)
+        gzl, _ = _local_row(gz, z0, Hz, nzw)
         dxc = (glob_x - sx).astype(jnp.float32)
         dzc = (glob_z - sz).astype(jnp.float32)
         if gaussian:
@@ -486,7 +516,7 @@ def make_sharded_forward_modeling_2d_pallas(ctx: FDContext, mesh: Mesh,
         call_k = _call(K)
 
         def ext(f):
-            return halo_exchange_2d(f, H, n_z, n_x, pad_to=nxww)
+            return halo_exchange_2d(f, Hz, Hx, n_z, n_x, pad_to=nxww)
 
         def block(carry, xs):
             p, pp = carry

@@ -141,6 +141,71 @@ class TestRtm2DBlocked:
         np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
 
 
+class TestPerAxisHalo:
+    """Single-shard axes carry no halo (Hz/Hx = 0): the degenerate meshes
+    must still match the unsharded path, and force_halo must too."""
+
+    def _run_mesh(self, rng, mesh, force_halo=False):
+        ctx = _ctx(nx=56, nz=48, nt=24)
+        ns, sz, gz = 2, 6, 5
+        sxs = np.asarray([18, 34], np.int32)
+        v2 = (1500.0 + 500.0 * rng.random((ns, ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
+        fn = make_sharded_rtm_snapshot_2d_pallas(ctx, mesh, sz, gz,
+                                                 block_k=3, interpret=True,
+                                                 force_halo=force_halo)
+        n_shot = mesh.shape["shot"]
+        npad = -ns % n_shot
+        v_in = np.concatenate([v2, v2[:npad]])
+        sx_in = np.concatenate([sxs, sxs[:npad]])
+        d_in = np.concatenate([dobs, np.zeros_like(dobs[:npad])])
+        im_ext = np.asarray(fn(v_in, sx_in, wav, embed_dobs(ctx, d_in)))
+        got = im_ext[:ns, ctx.nxb:ctx.nxe - ctx.nxb,
+                     ctx.nzb:ctx.nze - ctx.nzb]
+        ref = np.stack([
+            np.asarray(rtm_shot_snapshot(ctx, jnp.asarray(v2[i]), wav,
+                                         jnp.asarray(dobs[i]),
+                                         int(sxs[i]), sz, gz))
+            for i in range(ns)])
+        scale = np.abs(ref).max() or 1.0
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+    def test_x_only_mesh_zero_z_halo(self, rng):
+        """(shot=2, x=2, z=1): Hz = 0 — the z axis degenerates to the 1D
+        blocked scheme."""
+        from jax.sharding import Mesh
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2, 1),
+                    ("shot", "x", "z"))
+        self._run_mesh(rng, mesh)
+
+    def test_z_only_mesh_zero_x_halo(self, rng):
+        """(shot=2, x=1, z=2): Hx = 0 — z-dominated split."""
+        from jax.sharding import Mesh
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 1, 2),
+                    ("shot", "x", "z"))
+        self._run_mesh(rng, mesh)
+
+    def test_1x1x1_mesh_no_halos(self, rng):
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                    ("shot", "x", "z"))
+        self._run_mesh(rng, mesh)
+
+    def test_1x1x1_force_halo(self, rng):
+        """force_halo=True (the bench halo-cost proxy) keeps both K*h
+        halos on the 1x1x1 mesh and still matches."""
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                    ("shot", "x", "z"))
+        self._run_mesh(rng, mesh, force_halo=True)
+
+
 class TestMod2DBlocked:
     @pytest.mark.parametrize("source,taper,nt,k,lap_impl,atol", [
         ("point", "top", 40, 4, None, 2e-6),
