@@ -177,6 +177,27 @@ def bench_rtm_pallas_single():
     return _prof_timeit(make, fn, warmup=2, iters=5)
 
 
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _quiet_mxu_envelope():
+    """Suppress the lap_impl='mxu' out-of-envelope UserWarning for bench's
+    own *diagnostic* entries: the bench deliberately measures the 3-pass
+    tier beyond its validated-accuracy range (long-nt slope legs, pluto
+    scale) to record its SPEED; accuracy there is explicitly out of
+    contract and the headline never routes to it (resolve_lap_impl).
+    Keeping the captured artifact free of expected warnings is a
+    record-hygiene requirement (VERDICT r4 #8)."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=".*outside its validated accuracy envelope.*",
+            category=UserWarning)
+        yield
+
+
 def bench_rtm_domain_pallas(n_x: int = 1, block_k: int = 8):
     """The multi-chip production path compiled and run on the real chip:
     x-domain-decomposed blocked Pallas RTM (halo exchange every block_k
@@ -820,7 +841,9 @@ def _main_body():
             details["rtm_3lay_domain_slope_error"] = str(e)[:200]
         try:
             # the domain tier's MXU fast path (same per-chip comparison)
-            us_dom_m, us_ws_m = bench_rtm_domain_pallas_slope(lap_impl="mxu")
+            with _quiet_mxu_envelope():
+                us_dom_m, us_ws_m = bench_rtm_domain_pallas_slope(
+                    lap_impl="mxu")
             details["rtm_3lay_domain_mxu_nx1_us_per_step_slope"] = us_dom_m
             details["rtm_3lay_wholeshot_mxu_us_per_step_slope"] = us_ws_m
             details["rtm_3lay_domain_mxu_vs_wholeshot_step_ratio"] = (
@@ -849,7 +872,8 @@ def _main_body():
             us_2dph = bench_rtm_domain2d_pallas_slope(force_halo=True)
             details["rtm_3lay_domain2d_pallas_halo_us_per_step_slope"] = (
                 us_2dph)
-            us_2dpm = bench_rtm_domain2d_pallas_slope(lap_impl="mxu")
+            with _quiet_mxu_envelope():
+                us_2dpm = bench_rtm_domain2d_pallas_slope(lap_impl="mxu")
             details["rtm_3lay_domain2d_pallas_mxu_nx1nz1_us_per_step_slope"] \
                 = us_2dpm
         except Exception as e:
@@ -1015,7 +1039,8 @@ def _main_body():
         try:
             # the beyond-VMEM streaming tier's MXU fast path (explicit
             # lap_impl kwarg — never a trace-time env read)
-            ms, gc = bench_pluto_modeling(lap_impl="mxu")
+            with _quiet_mxu_envelope():
+                ms, gc = bench_pluto_modeling(lap_impl="mxu")
             details["modeling_pluto_scale_mxu_ms_per_step"] = ms
             details["modeling_pluto_scale_mxu_gcell_per_s"] = gc
         except Exception as e:
@@ -1033,8 +1058,9 @@ def _main_body():
             # ... and its MXU z-tap variant (the streaming tier's fastest
             # path: temporal blocking removes the DMA bound that made the
             # per-step MXU variant a 1.06x wash)
-            ms, gc = bench_pluto_modeling(block_k=4, tile_rows=256,
-                                          lap_impl="mxu")
+            with _quiet_mxu_envelope():
+                ms, gc = bench_pluto_modeling(block_k=4, tile_rows=256,
+                                              lap_impl="mxu")
             details["modeling_pluto_scale_kstep4_mxu_ms_per_step"] = ms
             details["modeling_pluto_scale_kstep4_mxu_gcell_per_s"] = gc
         except Exception as e:
@@ -1062,7 +1088,8 @@ def _main_body():
             # of blocking: measured 35.7 vs 24.3 vs 12.1 per-step; K=8
             # and tile_rows=512 both measure worse). Values gated at
             # pluto scale in validate config 9.
-            ms, gc = bench_pluto_rtm(block_k=4, lap_impl="mxu")
+            with _quiet_mxu_envelope():
+                ms, gc = bench_pluto_rtm(block_k=4, lap_impl="mxu")
             details["rtm_pluto_scale_kstep4_mxu_ms_per_step"] = ms
             details["rtm_pluto_scale_kstep4_mxu_gcell_upd_per_s"] = gc
         except Exception as e:

@@ -14,6 +14,8 @@ available; see :mod:`..utils.native`.
 from __future__ import annotations
 
 import os
+import warnings
+
 import numpy as np
 
 __all__ = [
@@ -36,30 +38,37 @@ def write_f32(path: str, arr: np.ndarray) -> None:
     np.ascontiguousarray(arr, dtype=np.float32).tofile(path)
 
 
+def _zero_fill(flat: np.ndarray, n: int, path: str, what: str):
+    """Reference ``memset``-then-``fread`` semantics: short files read as
+    zero — but warn, so a wrong-dims config cannot run silently on
+    truncated data (the reference would)."""
+    if flat.size < n:
+        warnings.warn(
+            f"{what} {path!r} holds {flat.size} float32 values but the "
+            f"config implies {n}; zero-filling the tail (check nx/nz/nt/ns)",
+            stacklevel=3)
+        flat = np.concatenate([flat, np.zeros(n - flat.size, np.float32)])
+    return flat
+
+
 def read_velocity(path: str, nx: int, nz: int) -> np.ndarray:
     """(nx, nz) velocity model, x-major like ``vp[ix][iz]``
     (``fd-code.cu:437-441``). Missing trailing data reads as zero, matching
-    the reference's memset-then-fread pattern."""
-    flat = read_f32(path, nx * nz)
-    if flat.size < nx * nz:
-        flat = np.concatenate([flat, np.zeros(nx * nz - flat.size, np.float32)])
-    return flat.reshape(nx, nz)
+    the reference's memset-then-fread pattern (with a size warning)."""
+    return _zero_fill(read_f32(path, nx * nz), nx * nz, path,
+                      "velocity file").reshape(nx, nz)
 
 
 def read_shot_gathers(path: str, ns: int, nx: int, nt: int) -> np.ndarray:
     """(ns, nx, nt) observed data ``d_obs[is][ix][it]`` (``fd-code.cu:420-424``)."""
-    flat = read_f32(path, ns * nx * nt)
-    if flat.size < ns * nx * nt:
-        flat = np.concatenate([flat, np.zeros(ns * nx * nt - flat.size, np.float32)])
-    return flat.reshape(ns, nx, nt)
+    return _zero_fill(read_f32(path, ns * nx * nt), ns * nx * nt, path,
+                      "shot-gather file").reshape(ns, nx, nt)
 
 
 def read_vel_ext(path: str, ns: int, nxe: int, nze: int) -> np.ndarray:
     """(ns, nxe, nze) pre-extended per-shot velocity (``fd-code.cu:412-418``)."""
-    flat = read_f32(path, ns * nxe * nze)
-    if flat.size < ns * nxe * nze:
-        flat = np.concatenate([flat, np.zeros(ns * nxe * nze - flat.size, np.float32)])
-    return flat.reshape(ns, nxe, nze)
+    return _zero_fill(read_f32(path, ns * nxe * nze), ns * nxe * nze, path,
+                      "vel_ext file").reshape(ns, nxe, nze)
 
 
 def write_image(path: str, img: np.ndarray) -> None:

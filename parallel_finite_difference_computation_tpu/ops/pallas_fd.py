@@ -167,7 +167,17 @@ def _mxu3_in_envelope(ctx: FDContext) -> bool:
     this config: short-nt AND an isotropic grid (dx == dz — detected via
     the premultiplied center coefficients; anisotropy with a fine axis
     puts dt at the CFL edge, where per-step rounding compounds
-    exponentially — the measured marmousi failure mode)."""
+    exponentially — the measured marmousi failure mode).
+
+    Caveat (documented limitation): isotropy is a *proxy* for CFL margin
+    — the actual ratio dt*vmax/min(dx, dz) depends on the velocity
+    model, which is a runtime operand this static check cannot see. An
+    isotropic config with a user-chosen dt AT the CFL limit could still
+    amplify 3-pass rounding beyond the validated 2.1e-5; ``auto``
+    therefore assumes dt comfortably inside the CFL bound (every
+    reference config satisfies this; a CFL-edge dt is numerically
+    marginal for the FD scheme itself). Use ``mxu6``/``vpu`` explicitly
+    for deliberately CFL-edge runs."""
     h = ctx.order // 2
     isotropic = float(ctx.coefs_x[h]) == float(ctx.coefs_z[h])
     return ctx.nt <= MXU3_NT_MAX and isotropic
@@ -180,7 +190,17 @@ def resolve_lap_impl(ctx: FDContext, lap_impl):
     CFL-edge (marmousi-class) configs, the exact VPU taps beyond the
     validated range. An *explicit* ``"mxu"`` outside its envelope is
     honored but warns — the user is asking for a tier whose error was
-    measured past the 1e-4 bar on configs like this one."""
+    measured past the 1e-4 bar on configs like this one.
+
+    ``lap_impl=None`` resolves ``PFDC_LAP_IMPL`` (import-time snapshot)
+    first, so ``PFDC_LAP_IMPL=auto`` routes identically on every path —
+    the whole-shot kernels AND the tiled/streaming ones whose kernels
+    never see a ctx (``padded``/``roll`` stay None: they select the exact
+    VPU taps' lowering inside :func:`..stencil.lap_in_kernel`)."""
+    if lap_impl is None:
+        from .stencil import _ENV_LAP_IMPL
+        if _ENV_LAP_IMPL in ("mxu", "mxu6", "auto"):
+            lap_impl = _ENV_LAP_IMPL
     if lap_impl == "auto":
         if _mxu3_in_envelope(ctx):
             return "mxu"

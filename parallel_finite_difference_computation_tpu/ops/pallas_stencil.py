@@ -536,6 +536,13 @@ def _lap_taps_roll(a, order, hr, tx, W, cz, cx):
     return jax.lax.slice(accz + accx, (hr, 0), (hr + tx, W))
 
 
+# Lane-width threshold for the whole-frame roll lowering: rolls amortize
+# only over wide frames (measured ~1.6x SLOWER than slices on narrow
+# whole-shot-class frames, PALLAS_NOTES "Round 4"); the streaming kernels
+# (ops/pallas_stream.py) share this dispatch.
+_ROLL_LANES_MIN = 1024
+
+
 def _kernel_padded(order, hr, nx, nz, tx, n_tx, R, W, cz, cx,
                    inp_hbm, mask_ref, out_ref, scratch, sems):
     h = order // 2
@@ -554,9 +561,15 @@ def _kernel_padded(order, hr, nx, nz, tx, n_tx, R, W, cz, cx,
     _halo_dma_wait(inp_hbm, scratch, sems, cur, tx, hr)
 
     # out row r maps to scratch row r + hr; taps at r + hr + (io - h);
-    # roll-form taps — the mask below supplies the contract that makes
-    # them bit-identical to the slice form (see _lap_taps_roll)
-    full = _lap_taps_roll(scratch[cur], order, hr, tx, W, cz, cx)
+    # roll-form taps on wide frames (bit-identical to the slice form on
+    # every kept cell — the mask below supplies that contract, see
+    # _lap_taps_roll), slice form on narrow ones where rolls measured
+    # ~1.6x slower (the _ROLL_LANES_MIN dispatch the streaming kernels
+    # use)
+    if W >= _ROLL_LANES_MIN:
+        full = _lap_taps_roll(scratch[cur], order, hr, tx, W, cz, cx)
+    else:
+        full = _lap_taps(scratch[cur], order, hr, tx, W, cz, cx)
     # zero the h-frame and all padding: rows via sublane iota, cols via a
     # VMEM mask row (lane-axis iota is unavailable in-kernel)
     rows = i * tx + jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)

@@ -56,8 +56,9 @@ __all__ = ["fd_step_padded", "fd_update_padded", "fd_step_gpu_padded",
 # the K-step kernels can differ in low bits only, ~1e-11, where the
 # compiler forms fma differently across the two graphs — far inside the
 # tier's 1e-5 lax-parity contract; tests/test_pallas_stream.py::
-# TestRollLowering).
-_ROLL_LANES_MIN = 1024
+# TestRollLowering). Single home: ops/pallas_stencil.py (the padded
+# stencil kernel shares the dispatch).
+from .pallas_stencil import _ROLL_LANES_MIN
 
 
 def _lap_dispatch(use_mxu, rest, order, hr, tx, W, cz, cx):

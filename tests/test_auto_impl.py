@@ -150,3 +150,33 @@ class TestNoTraceTimeEnvReads:
         before = _use_mxu_lap(None)
         monkeypatch.setenv("PFDC_LAP_IMPL", "mxu")
         assert _use_mxu_lap(None) == before
+
+    def test_env_auto_routes_on_tiled_paths(self, monkeypatch):
+        """PFDC_LAP_IMPL=auto must route (not raise) on the tiled/streaming
+        paths too: solver's resolve_lap_impl(ctx, None) resolves the env
+        snapshot before the kernels, so pallas_stream never sees a
+        ctx-less 'auto' (the round-4 advisor finding)."""
+        import parallel_finite_difference_computation_tpu.ops.stencil as st
+        from parallel_finite_difference_computation_tpu.ops.pallas_fd \
+            import resolve_lap_impl
+        from parallel_finite_difference_computation_tpu.solver import (
+            FDContext, rtm_shot_snapshot_tiled)
+        import numpy as np
+        import jax.numpy as jnp
+        from parallel_finite_difference_computation_tpu import numerics
+        monkeypatch.setattr(st, "_ENV_LAP_IMPL", "auto")
+        ctx = FDContext.create(40, 40, 12, dx=10.0, dz=10.0, dt=0.001,
+                               order=8, nxb=8, nzb=8, fac=0.7)
+        assert resolve_lap_impl(ctx, None) == "mxu"  # short-nt isotropic
+        rng = np.random.default_rng(0)
+        v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = jnp.asarray(rng.standard_normal((ctx.nx, ctx.nt)),
+                           jnp.float32)
+        # lap_impl=None + env 'auto': must build and run without the
+        # "pass ctx to _use_mxu_lap" ValueError
+        out = rtm_shot_snapshot_tiled(ctx, jnp.asarray(v2), wav, dobs,
+                                      20, 10, 9, tile_rows=16,
+                                      interpret=True, block_k=3)
+        assert np.isfinite(np.asarray(out)).all()

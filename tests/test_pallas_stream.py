@@ -503,9 +503,7 @@ class TestRollLowering:
         outs = {}
         for thr in (10 ** 9, 0):
             ctx = _ctx()  # fresh identity-hashed ctx -> fresh jit trace
-            v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
-                  ).astype(np.float32) ** 2
-            rng = np.random.default_rng(9)
+            rng = np.random.default_rng(9)  # same operands per iteration
             v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
                   ).astype(np.float32) ** 2
             wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 30.0))
