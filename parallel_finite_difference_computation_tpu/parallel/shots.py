@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["distribute_shots", "pad_shots", "make_sharded_rtm_pallas",
            "make_sharded_modeling_pallas", "make_sharded_modeling_tiled",
-           "make_sharded_rtm_tiled"]
+           "make_sharded_rtm_tiled", "make_sharded_rtm_full_tiled"]
 
 
 def pad_shots(arr: np.ndarray, n_devices: int):
@@ -119,6 +119,41 @@ def make_sharded_modeling_tiled(ctx, mesh: Mesh, sz: int, gz: int,
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("shot"), P()),
+        out_specs=P("shot"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_rtm_full_tiled(ctx, mesh: Mesh, sz: int, gz: int,
+                                tile_rows: int = 256, block_k: int = 4,
+                                interpret: bool = False, lap_impl=None):
+    """Shot-sharded beyond-VMEM FULL-WAVEFIELD RTM — the ``rtm_main``
+    flavor (``dpct_gpu_rtm_domain_division/src/rtm_main.cpp:158-247``) on
+    a shot mesh with the temporally-blocked streaming kernels
+    (:func:`...solver.rtm_shot_full_tiled`): each device migrates its
+    local shots sequentially (``lax.map``, one kernel compile), zero
+    inter-device communication until the caller stacks the images.
+
+    Returns ``fn(v2, dobs, sxs, nxts, wavelet) -> imlocs`` with ``v2``
+    replicated (the CPU pipeline shares one clamp-extended model across
+    shots, ``rtm_main.cpp:113-132``), ``dobs`` (ns, nx, nt) / ``sxs`` /
+    ``nxts`` (the per-shot cross-shot it=0 flat-read samples,
+    ``rtm_main.cpp:202``) sharded over ``shot``, ns divisible by the
+    mesh's ``shot`` size (:func:`pad_shots`)."""
+    from ..solver import rtm_shot_full_tiled
+
+    def body(v2, dobs, sxs, nxts, wavelet):
+        return jax.lax.map(
+            lambda a: rtm_shot_full_tiled(
+                ctx, v2, wavelet, a[0], a[1], sz, gz,
+                next_shot_first=a[2], tile_rows=tile_rows,
+                block_k=block_k, interpret=interpret, lap_impl=lap_impl),
+            (dobs, sxs, nxts))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("shot"), P("shot"), P("shot"), P()),
         out_specs=P("shot"),
         check_vma=False,
     )

@@ -361,20 +361,42 @@ def run_rtm_cpu(p: Params, vp: Optional[np.ndarray] = None,
 
     use_tiled = backend == "tiled" or (backend == "auto"
                                        and _tiled_rtm_wins(p))
-    if use_tiled and mesh is not None:
-        # a sequential lax.map over a shot-sharded axis would gather every
-        # slice back to one device; the streaming tier has no partitionable
-        # per-shot form, so shot meshes run the vmap lax path instead (use
-        # an x mesh to decompose large grids across devices)
-        import warnings
-        warnings.warn("run_rtm_cpu: the tiled tier is single-device "
-                      "sequential; ignoring the shot mesh for tiling and "
-                      "using the partitionable lax path")
-        use_tiled = False
 
     def shot_lax(sx, d, nx1):
         return rtm_shot_full(ctx, vel2, wav, d, sx, g.sz, g.gz,
                              next_shot_first=nx1)
+
+    if use_tiled and mesh is not None:
+        # shot-sharded streaming tier: each device migrates its local
+        # shots through the K-blocked full-wavefield kernels (no lax
+        # downgrade — the round-4 gap)
+        from .parallel.shots import (make_sharded_rtm_full_tiled,
+                                     distribute_shots, pad_shots)
+        n_dev = mesh.shape.get("shot", 1)
+        tr_tile = 256 if ctx.nxe >= 2048 else 64
+        fn_sh = make_sharded_rtm_full_tiled(
+            ctx, mesh, g.sz, g.gz, tile_rows=tr_tile,
+            block_k=min(4, ctx.nt))
+        sx_pad, _ = pad_shots(sx_sel, n_dev)
+        d_pad, _ = pad_shots(dobs_sel, n_dev)
+        nxt_pad, _ = pad_shots(nxt, n_dev)
+        sx_in, d_in, nxt_in = distribute_shots(mesh, sx_pad, d_pad, nxt_pad)
+        try:
+            imlocs = np.asarray(
+                fn_sh(vel2, d_in, sx_in, nxt_in, wav))[:ns]
+            img = imlocs.sum(axis=0)
+            if outdir:
+                io.write_image(os.path.join(outdir, "dir.image"), img)
+                io.write_f32(os.path.join(outdir, "dir.img"), imlocs)
+            return img, imlocs
+        except Exception as e:
+            if backend != "auto":
+                raise
+            import warnings
+            warnings.warn(f"sharded tiled RTM tier failed "
+                          f"({type(e).__name__}: {str(e)[:200]}); falling "
+                          f"back to the partitionable lax path")
+            use_tiled = False
 
     if use_tiled:
         # temporally blocked (K=4 fused steps per HBM pass; the frames

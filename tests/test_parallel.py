@@ -501,3 +501,80 @@ class TestRtmFullDomain:
             for i in range(ns)])
         scale = np.abs(ref).max() or 1.0
         np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+
+class TestShardedRtmFullTiled:
+    def test_matches_unsharded_ns3(self, rng):
+        """Shot-sharded full-wavefield STREAMING tier
+        (make_sharded_rtm_full_tiled — the rtm_main flavor the round-4
+        pipeline silently downgraded to lax) == rtm_shot_full, including
+        the cross-shot it=0 flat-read threading (ns=3 on a 4-shot mesh:
+        exercises the zero-padded dummy shot too)."""
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_mesh)
+        from parallel_finite_difference_computation_tpu.parallel.shots \
+            import make_sharded_rtm_full_tiled, pad_shots
+        from parallel_finite_difference_computation_tpu.solver import (
+            rtm_shot_full)
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(n_shot=4)
+        ctx = _ctx(nx=24, nz=19, nt=24)
+        ns, sz, gz = 3, 6, 5
+        sxs = np.asarray([8, 14, 20], np.int32)
+        v2 = (1500.0 + 500.0 * rng.random((ctx.nxe, ctx.nze))
+              ).astype(np.float32) ** 2
+        wav = jnp.asarray(numerics.ricker_wavelet(ctx.nt, 0.001, 25.0))
+        dobs = rng.standard_normal((ns, ctx.nx, ctx.nt)).astype(np.float32)
+        nxt = np.concatenate([dobs[1:, 0, 0], np.zeros(1, np.float32)])
+        fn = make_sharded_rtm_full_tiled(ctx, mesh, sz, gz, tile_rows=16,
+                                         block_k=3, interpret=True)
+        sx_pad, _ = pad_shots(sxs, 4)
+        d_pad, _ = pad_shots(dobs, 4)
+        nxt_pad, _ = pad_shots(nxt, 4)
+        got = np.asarray(fn(jnp.asarray(v2), d_pad, sx_pad, nxt_pad,
+                            wav))[:ns]
+        ref = np.stack([
+            np.asarray(rtm_shot_full(ctx, jnp.asarray(v2), wav,
+                                     jnp.asarray(dobs[i]), int(sxs[i]),
+                                     sz, gz, next_shot_first=float(nxt[i])))
+            for i in range(ns)])
+        scale = np.abs(ref).max() or 1.0
+        np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+
+    def test_pipeline_shot_mesh_tiled_no_downgrade(self, monkeypatch):
+        """run_rtm_cpu with a shot mesh + the tiled tier routes through the
+        sharded streaming maker (no lax downgrade, no warning); with
+        interpret-mode kernels forced, the result matches the lax path."""
+        import warnings as _w
+        import parallel_finite_difference_computation_tpu as pfdc
+        from parallel_finite_difference_computation_tpu import pipeline
+        from parallel_finite_difference_computation_tpu.parallel import (
+            make_mesh, shots as shots_mod)
+        from parallel_finite_difference_computation_tpu.models import (
+            layered_model)
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(n_shot=4)
+        p = pfdc.Params(nz=24, nx=24, nt=24, dz=10.0, dx=10.0, dt=0.001,
+                        fpeak=25.0, ns=3, sz=0, fsx=2, ds=8, gz=0,
+                        nxb=4, nzb=4, fac=0.01, order=8)
+        vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+        rng = np.random.default_rng(3)
+        dobs = rng.standard_normal((p.ns, p.nx, p.nt)).astype(np.float32)
+        img0, im0 = pipeline.run_rtm_cpu(p, vp=vp, dobs=dobs,
+                                         backend="lax")
+        # force interpret mode so the Mosaic kernels run on the CPU lane
+        orig = shots_mod.make_sharded_rtm_full_tiled
+        monkeypatch.setattr(
+            shots_mod, "make_sharded_rtm_full_tiled",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True,
+                                        "tile_rows": 16,
+                                        "block_k": 3}))
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # any downgrade warning -> failure
+            img1, im1 = pipeline.run_rtm_cpu(p, vp=vp, dobs=dobs,
+                                             backend="tiled", mesh=mesh)
+        scale = np.abs(im0).max() or 1.0
+        np.testing.assert_allclose(im1 / scale, im0 / scale, atol=1e-5)
+        np.testing.assert_allclose(img1 / scale, img0 / scale, atol=1e-5)
