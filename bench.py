@@ -1028,6 +1028,14 @@ def _main_body():
             from parallel_finite_difference_computation_tpu.utils.profiling \
                 import measure_stream_gbps
             details["measured_stream_gbps"] = measure_stream_gbps()
+            # The operative DMA-bound target (BASELINE.md): fraction of the
+            # MEASURED achievable stream rate, alongside the spec-sheet
+            # fraction above (819 GB/s is not reached by any kernel on
+            # this part, including a pure copy — see docs/PALLAS_NOTES.md)
+            gm_s = details.get("stencil_8192_mxu_gcell_per_s_slope")
+            if gm_s:
+                details["stencil_8192_mxu_measured_stream_fraction"] = (
+                    gm_s * 8) / details["measured_stream_gbps"]
         except Exception as e:
             details["measured_stream_error"] = str(e)[:200]
         try:
