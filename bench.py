@@ -1141,6 +1141,38 @@ def _main_body():
         if carried:
             details["entries_carried_from_previous_record"] = carried
 
+    # Committed-record guard for the headline-ADJACENT tiers (VERDICT r4
+    # #4): a tier the committed record holds must not die silently in the
+    # current run — an errored guarded tier, or one beyond its absolute
+    # bound, fails the run exactly like the headline guard. Carried
+    # entries (explicitly marked above) are not fresh claims and are
+    # exempt.
+    _GUARDED = [
+        # (entry, error key, direction, bound)
+        ("rtm_pluto_scale_kstep4_gcell_upd_per_s",
+         "rtm_pluto_scale_kstep4_error", "min", 20.0),
+        ("rtm_pluto_scale_kstep4_mxu_gcell_upd_per_s",
+         "rtm_pluto_scale_kstep4_mxu_error", "min", 28.0),
+        ("rtm_marmousi_pallas_s_per_shot",
+         "rtm_marmousi_pallas_error", "max", 0.15),
+        ("rtm_marmousi_mxu6_s_per_shot",
+         "rtm_marmousi_mxu6_error", "max", 0.15),
+    ]
+    if dev.platform == "tpu":
+        carried_now = details.get("entries_carried_from_previous_record",
+                                  [])
+        for key, err_key, kind, bound in _GUARDED:
+            if key not in prev_record or key in carried_now:
+                continue
+            if key not in details:
+                why = details.get(err_key, "entry missing from the run")
+                floors.append(
+                    f"committed guarded tier {key} died: {str(why)[:120]}")
+            elif ((kind == "min" and details[key] < bound)
+                  or (kind == "max" and details[key] > bound)):
+                floors.append(f"guarded tier {key} = {details[key]:.4g} "
+                              f"beyond its {bound} bound")
+
     details["floor_violations"] = floors
     # a PFDC_BENCH_PLATFORM=cpu smoke run must not clobber the recorded
     # TPU details; write them to a side file instead

@@ -58,4 +58,14 @@ try:
 except SystemExit as e:
     print("bench exited with code:", e.code)
     d = json.load(open(os.path.join(tmp, "BENCH_DETAILS.json")))
-    print("floor_violations:", d.get("floor_violations"))
+    viols = d.get("floor_violations") or []
+    print("floor_violations:", viols)
+    # VERDICT r4 #3: the committed headline tier must fail the run
+    assert any("committed headline tier mxu" in v for v in viols), viols
+    # VERDICT r4 #4: the headline-ADJACENT guard must also fire — this
+    # scenario stubs bench_pluto_rtm dead, so the pluto kstep4 entries
+    # the committed record holds are missing from the run
+    assert any("guarded tier rtm_pluto_scale_kstep4" in v
+               for v in viols), viols
+    assert e.code == 1, e.code
+    print("GUARD PROVEN: headline + pluto guarded tiers both fail the run")
