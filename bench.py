@@ -1173,6 +1173,29 @@ def _main_body():
                 floors.append(f"guarded tier {key} = {details[key]:.4g} "
                               f"beyond its {bound} bound")
 
+    # Fold the recorded full-resolution Pluto survey (the end-to-end
+    # CLI run with checkpoint/resume, scripts/run_pluto_survey.py) into
+    # the committed record so the survey-scale numbers live next to the
+    # kernel slopes. These are a recorded artifact of that run, not
+    # re-measured here (the full survey takes ~20 min of chip time).
+    try:
+        _psr = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "experiments",
+                            "pluto_survey_results.json")
+        if os.path.exists(_psr):
+            with open(_psr) as f:
+                ps = json.load(f)
+            if ps.get("nt", 0) >= 12860 and ps.get("ns", 0) >= 30:
+                for k in ("modeling_wall_s", "modeling_s_per_shot",
+                          "rtm_total_wall_s", "rtm_s_per_shot",
+                          "rtm_gcell_upd_per_s_incl_compile_and_restart",
+                          "chunk_vs_standalone_shot_rel_err",
+                          "tiled_vs_lax_truncated_nt_rel_err", "date"):
+                    if k in ps:
+                        details[f"pluto_survey_{k}"] = ps[k]
+    except Exception as e:
+        details["pluto_survey_record_error"] = str(e)[:200]
+
     details["floor_violations"] = floors
     # a PFDC_BENCH_PLATFORM=cpu smoke run must not clobber the recorded
     # TPU details; write them to a side file instead

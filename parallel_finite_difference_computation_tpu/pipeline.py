@@ -148,6 +148,12 @@ def run_stencil(p: Params, input_path: Optional[str] = None,
     return lap
 
 
+# Device budget for a modeling run's (ns, nt, nx) seismogram volume:
+# beyond it, run_modeling chunks shots on the host (HBM is ~16 GB and the
+# propagation workspace needs its share).
+_MOD_CHUNK_BYTES = 2 << 30
+
+
 def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                  out_datfile: Optional[str] = None,
                  backend: str = "auto", mesh=None,
@@ -225,8 +231,28 @@ def run_modeling(p: Params, vp: Optional[np.ndarray] = None,
                 block_k=min(4, ctx.nt), lap_impl=lap_impl)
             run_pallas = lambda sxs: _sh_ws(vel2, sxs, wav)
             run_tiled = lambda sxs: _sh_t(vel2, sxs, wav)
-    seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend,
-                              run_pallas_split=run_tiled)[:ns]
+    out_bytes = ns * p.nt * p.nx * 4
+    if mesh is None and ns > 1 and out_bytes > _MOD_CHUNK_BYTES:
+        # survey-scale gathers cannot live on-device whole (pluto ns=30 x
+        # nt=12860 x nx=6960 = 10.7 GB vs 16 GB HBM incl. workspace):
+        # chunk shots on the host, one fixed chunk shape so a single
+        # compile serves every chunk (the tail is padded with a repeated
+        # source and dropped)
+        per = max(1, int(_MOD_CHUNK_BYTES // (p.nt * p.nx * 4)))
+        sx_np = np.asarray(g.sx, np.int32)
+        parts = []
+        for s0 in range(0, ns, per):
+            idx = np.arange(s0, min(s0 + per, ns))
+            sx_c = np.full(per, sx_np[0], np.int32)
+            sx_c[:len(idx)] = sx_np[idx]
+            out = _run_with_fallback(run_pallas, run_lax,
+                                     (jnp.asarray(sx_c),), backend,
+                                     run_pallas_split=run_tiled)
+            parts.append(np.asarray(out[:len(idx)]))
+        seis = np.concatenate(parts, axis=0)
+    else:
+        seis = _run_with_fallback(run_pallas, run_lax, (sxs,), backend,
+                                  run_pallas_split=run_tiled)[:ns]
     data = np.transpose(seis, (0, 2, 1))      # (ns, nx, nt)
     if out_datfile:
         io.write_f32(out_datfile, data)

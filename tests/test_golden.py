@@ -199,3 +199,23 @@ class TestImageNumFormat:
         secs = io.read_image_num(path)
         np.testing.assert_allclose(
             secs[0], imgs[0].ravel(order="F"), rtol=1e-5, atol=1e-6)
+
+
+def test_run_modeling_host_chunking_matches_unchunked(monkeypatch):
+    """Survey-scale gathers chunk on the host (run_modeling's
+    _MOD_CHUNK_BYTES budget): with the budget forced tiny, the chunked
+    run (uneven tail included) must equal the single-pass run exactly."""
+    import numpy as np
+    from parallel_finite_difference_computation_tpu import pipeline
+    from parallel_finite_difference_computation_tpu import Params
+    from parallel_finite_difference_computation_tpu.models import (
+        layered_model)
+    p = Params(nz=24, nx=24, nt=20, dz=10.0, dx=10.0, dt=0.001,
+               fpeak=25.0, ns=5, sz=0, fsx=2, ds=4, gz=0,
+               nxb=4, nzb=4, fac=0.01, order=8)
+    vp = layered_model(p.nx, p.nz, (1500.0, 2500.0), interfaces=[12])
+    d0 = pipeline.run_modeling(p, vp=vp, backend="lax")
+    monkeypatch.setattr(pipeline, "_MOD_CHUNK_BYTES",
+                        2 * p.nt * p.nx * 4)  # 2 shots per chunk, tail 1
+    d1 = pipeline.run_modeling(p, vp=vp, backend="lax")
+    np.testing.assert_array_equal(d1, d0)
