@@ -14,8 +14,9 @@ never could, through the CLI:
   2. ``cli mod`` — forward-model all 30 shot gathers at full nt=12860
      (beyond-VMEM K-step streaming tier via backend=auto);
   3. ``cli rtm_gpu --checkpoint-dir`` — migrate all 30 shots with
-     survey checkpointing, INTERRUPTED mid-run (SIGKILL) and resumed,
-     proving production-scale crash recovery;
+     survey checkpointing, INTERRUPTED mid-run (SIGTERM — see ``cli()``
+     for why not SIGKILL on a tunneled chip) and resumed, proving
+     production-scale crash recovery;
   4. validate: (a) a chunk shot re-run standalone through the pipeline
      (global-shot-index PRNG threading) must equal the survey's stored
      per-shot image bitwise; (b) the streaming tier vs the lax
@@ -79,22 +80,52 @@ fsx=2700
 
 
 def cli(args, timeout=None, check=True):
+    """Run a CLI invocation; with ``timeout``, SIGTERM it at the deadline
+    (abrupt client death — no checkpoint flushing beyond what already
+    hit disk — but, unlike SIGKILL, it does not take the tunnel's TPU
+    worker process down with the client mid-DMA; a SIGKILL mid-transfer
+    was observed to crash the worker and fail the subsequent resume with
+    UNAVAILABLE until the worker restarted)."""
     cmd = [sys.executable, "-m",
            "parallel_finite_difference_computation_tpu.cli"] + args
     t0 = time.time()
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
     try:
-        res = subprocess.run(cmd, cwd=REPO, timeout=timeout,
-                             capture_output=True, text=True)
-        rc = res.returncode
-        out = res.stdout[-3000:] + res.stderr[-2000:]
-    except subprocess.TimeoutExpired as e:
-        rc, out = -signal.SIGKILL, ((e.stdout or b"").decode()[-2000:]
-                                    if e.stdout else "")
+        out, _ = proc.communicate(timeout=timeout)
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            out, _ = proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+        rc = -signal.SIGTERM
     dt = time.time() - t0
+    out = (out or "")[-6000:]
     if check and rc != 0:
         print(out)
         raise RuntimeError(f"CLI {' '.join(args[:2])} rc={rc}")
     return dt, rc, out
+
+
+def wait_chip_healthy(max_wait=600):
+    """Poll the device with a tiny op in a fresh subprocess until it
+    responds (the tunnel worker can take a while to come back after an
+    abrupt client death)."""
+    t0 = time.time()
+    while True:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((8, 8)).sum()))"],
+            capture_output=True, text=True, timeout=180)
+        if r.returncode == 0 and "64.0" in r.stdout:
+            return time.time() - t0
+        if time.time() - t0 > max_wait:
+            raise RuntimeError("chip did not recover: " + r.stderr[-500:])
+        time.sleep(20)
 
 
 def main():
@@ -103,8 +134,8 @@ def main():
     ap.add_argument("--ns", type=int, default=30)
     ap.add_argument("--work", default="/tmp/pluto_survey")
     ap.add_argument("--interrupt-after", type=float, default=420.0,
-                    help="SIGKILL the first RTM invocation after this many "
-                         "seconds to exercise crash recovery")
+                    help="SIGTERM the first RTM invocation after this "
+                         "many seconds to exercise crash recovery")
     args = ap.parse_args()
     nt, ns = args.nt, args.ns
     work = args.work
@@ -136,13 +167,22 @@ def main():
                 "--checkpoint-dir", ckpt, "--chunk-shots", "5"]
     dt1, rc1, out1 = cli(rtm_args, timeout=args.interrupt_after,
                          check=False)
-    import glob
-    done_before = sorted(glob.glob(os.path.join(ckpt, "imloc_*.npy")))
+    # chunks the resume will load = what the MANIFEST names (an interrupt
+    # can land between an npy write and its manifest update; that chunk
+    # is consistently recomputed)
+    mpath = os.path.join(ckpt, "manifest.json")
+    done_before = []
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            done_before = sorted(json.load(f).get("chunks", {}))
     results["interrupted_after_s"] = dt1
     results["interrupted_rc"] = rc1
     results["chunks_completed_before_kill"] = len(done_before)
     print(f"first invocation: rc={rc1} after {dt1:.0f}s, "
           f"{len(done_before)} chunk(s) checkpointed", flush=True)
+    print("--- first invocation tail ---", flush=True)
+    print("\n".join(out1.splitlines()[-12:]), flush=True)
+    results["chip_recovery_wait_s"] = wait_chip_healthy()
 
     t0 = time.time()
     dt2, _, out2 = cli(rtm_args)
