@@ -115,17 +115,67 @@ def wait_chip_healthy(max_wait=600):
     responds (the tunnel worker can take a while to come back after an
     abrupt client death)."""
     t0 = time.time()
+    last = ""
     while True:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "print(float(jnp.ones((8, 8)).sum()))"],
-            capture_output=True, text=True, timeout=180)
-        if r.returncode == 0 and "64.0" in r.stdout:
-            return time.time() - t0
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.ones((8, 8)).sum()))"],
+                capture_output=True, text=True, timeout=180)
+            if r.returncode == 0 and "64.0" in r.stdout:
+                return time.time() - t0
+            last = r.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            last = "probe timed out"
         if time.time() - t0 > max_wait:
-            raise RuntimeError("chip did not recover: " + r.stderr[-500:])
+            raise RuntimeError("chip did not recover: " + last)
         time.sleep(20)
+
+
+def cli_interrupt_after_chunk(args_cli, mpath, settle=30.0, cap=2400.0):
+    """Run the CLI; SIGTERM it ``settle`` seconds after the manifest
+    first records a completed chunk (so the crash drill provably leaves
+    resumable work), with an absolute ``cap``."""
+    cmd = [sys.executable, "-m",
+           "parallel_finite_difference_computation_tpu.cli"] + args_cli
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    import threading
+
+    def pump(buf):
+        for line in proc.stdout:
+            buf.append(line)
+    buf = []
+    th = threading.Thread(target=pump, args=(buf,), daemon=True)
+    th.start()
+    seen_at = None
+    while proc.poll() is None:
+        now = time.time()
+        done = 0
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    done = len(json.load(f).get("chunks", {}))
+            except Exception:
+                pass
+        if done and seen_at is None:
+            seen_at = now
+        if ((seen_at and now - seen_at > settle)
+                or now - t0 > cap):
+            proc.send_signal(signal.SIGTERM)
+            break
+        time.sleep(5)
+    try:
+        proc.wait(timeout=90)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+    th.join(timeout=10)
+    rc = proc.returncode
+    return time.time() - t0, (-signal.SIGTERM if rc != 0 else rc), \
+        "".join(buf)[-6000:]
 
 
 def main():
@@ -134,8 +184,14 @@ def main():
     ap.add_argument("--ns", type=int, default=30)
     ap.add_argument("--work", default="/tmp/pluto_survey")
     ap.add_argument("--interrupt-after", type=float, default=420.0,
-                    help="SIGTERM the first RTM invocation after this "
-                         "many seconds to exercise crash recovery")
+                    help="(unused when the adaptive chunk-based interrupt "
+                         "applies) absolute cap on the first invocation")
+    ap.add_argument("--reuse-dobs", action="store_true",
+                    help="skip modeling if the dobs blob already exists "
+                         "(record --modeling-wall instead)")
+    ap.add_argument("--modeling-wall", type=float, default=None,
+                    help="previously measured modeling wall-clock to "
+                         "record when --reuse-dobs skips step 1")
     args = ap.parse_args()
     nt, ns = args.nt, args.ns
     work = args.work
@@ -148,9 +204,15 @@ def main():
     cells = (NX + 2 * NB) * (NZ + 2 * NB)
 
     # ---- 1. forward modeling (all shots, full nt) ----
-    print(f"== modeling {ns} shots at nt={nt} ==", flush=True)
-    dt_mod, _, out = cli(["mod", f"par={cfg}"])
-    print(out.splitlines()[-1] if out else "", flush=True)
+    dobs_path0 = os.path.join(work, f"dobs_{ns}shots.bin")
+    if (args.reuse_dobs and os.path.exists(dobs_path0)
+            and os.path.getsize(dobs_path0) == ns * NX * nt * 4):
+        print("== reusing existing dobs blob ==", flush=True)
+        dt_mod = args.modeling_wall or float("nan")
+    else:
+        print(f"== modeling {ns} shots at nt={nt} ==", flush=True)
+        dt_mod, _, out = cli(["mod", f"par={cfg}"])
+        print(out.splitlines()[-1] if out else "", flush=True)
     results["modeling_wall_s"] = dt_mod
     results["modeling_s_per_shot"] = dt_mod / ns
     results["modeling_gcell_per_s_incl_compile"] = (
@@ -165,8 +227,8 @@ def main():
           flush=True)
     rtm_args = ["rtm_gpu", f"par={cfg}", "--outdir", outdir,
                 "--checkpoint-dir", ckpt, "--chunk-shots", "5"]
-    dt1, rc1, out1 = cli(rtm_args, timeout=args.interrupt_after,
-                         check=False)
+    dt1, rc1, out1 = cli_interrupt_after_chunk(
+        rtm_args, os.path.join(ckpt, "manifest.json"))
     # chunks the resume will load = what the MANIFEST names (an interrupt
     # can land between an npy write and its manifest update; that chunk
     # is consistently recomputed)
