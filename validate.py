@@ -510,6 +510,40 @@ def config9_pluto_scale():
            f"mod {t_mod:.1f}s, 2-snap rtm {t_rtm:.1f}s incl compile")
 
 
+def config10_pluto_survey():
+    """Full-resolution Pluto survey self-consistency: re-asserts the gates
+    of the recorded end-to-end CLI run (``scripts/run_pluto_survey.py`` —
+    nt=12860, ns=30, survey checkpoint/resume on the real chip): the
+    survey-stored per-shot image must equal a standalone re-run of that
+    global shot index (PRNG/quirk threading), and the streaming tier must
+    spot-match the lax whole-grid path at truncated nt. SKIPs when the
+    artifact is absent or a reduced-scale smoke run."""
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "experiments", "pluto_survey_results.json")
+    name = "10. pluto full survey (nt=12860, ns=30, CLI + ckpt resume)"
+    if not os.path.exists(path):
+        record(name, "SKIP", "-", "run scripts/run_pluto_survey.py first")
+        return
+    with open(path) as f:
+        r = _json.load(f)
+    if r.get("nt", 0) < 12860 or r.get("ns", 0) < 30:
+        record(name, "SKIP", "-",
+               f"artifact is a reduced-scale run (nt={r.get('nt')}, "
+               f"ns={r.get('ns')})")
+        return
+    a = r.get("chunk_vs_standalone_shot_rel_err")
+    b = r.get("tiled_vs_lax_truncated_nt_rel_err")
+    ok = (a is not None and b is not None and a <= 1e-6 and b <= GATE)
+    mod_s = r.get("modeling_wall_s", 0) or 0
+    rtm_s = r.get("rtm_total_wall_s", 0) or 0
+    per = r.get("rtm_s_per_shot", 0) or 0
+    record(name, "PASS" if ok else "FAIL",
+           f"chunk-vs-standalone {a:.2e}, tiled-vs-lax {b:.2e}",
+           f"recorded {r.get('date')}: mod {mod_s:.0f}s, rtm {rtm_s:.0f}s"
+           f" ({per:.1f} s/shot incl tunnel transfers + restart)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -528,6 +562,7 @@ def main():
     config7_rtm_main_multishot()
     config8_spluto()
     config9_pluto_scale()
+    config10_pluto_survey()
 
     with open("VALIDATION.md", "w") as f:
         f.write("# Validation report — BASELINE configs + oracle gates\n\n")
