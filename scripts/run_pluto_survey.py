@@ -225,8 +225,10 @@ def main():
     # ---- 2. RTM survey with checkpointing, interrupted + resumed ----
     print(f"== rtm_gpu survey, interrupt after {args.interrupt_after}s ==",
           flush=True)
+    # chunk-shots 3: a 5-shot chunk's single ~1.8 GB dobs upload was
+    # observed to crash the tunnel worker; ~1 GB uploads are reliable
     rtm_args = ["rtm_gpu", f"par={cfg}", "--outdir", outdir,
-                "--checkpoint-dir", ckpt, "--chunk-shots", "5"]
+                "--checkpoint-dir", ckpt, "--chunk-shots", "3"]
     dt1, rc1, out1 = cli_interrupt_after_chunk(
         rtm_args, os.path.join(ckpt, "manifest.json"))
     # chunks the resume will load = what the MANIFEST names (an interrupt
@@ -246,11 +248,34 @@ def main():
     print("\n".join(out1.splitlines()[-12:]), flush=True)
     results["chip_recovery_wait_s"] = wait_chip_healthy()
 
-    t0 = time.time()
-    dt2, _, out2 = cli(rtm_args)
-    loaded = sum("loaded from checkpoint" in ln
-                 for ln in out2.splitlines())
+    # resume loop: every attempt loads the manifest's completed chunks
+    # and continues — the checkpoint system also absorbs any further
+    # worker crashes (observed tunnel flakiness under survey-scale
+    # transfer load), which is exactly the failure mode it exists for
+    dt2 = 0.0
+    attempts = []
+    loaded = None
+    for attempt in range(8):
+        t0 = time.time()
+        dta, rca, out2 = cli(rtm_args, check=False)
+        dt2 += dta
+        n_loaded = sum("loaded from checkpoint" in ln
+                       for ln in out2.splitlines())
+        attempts.append({"rc": rca, "wall_s": dta,
+                         "chunks_loaded": n_loaded})
+        if attempt == 0:
+            loaded = n_loaded
+        if rca == 0:
+            break
+        print(f"resume attempt {attempt + 1} died (rc={rca}); "
+              f"re-resuming after health check", flush=True)
+        print("\n".join(out2.splitlines()[-6:]), flush=True)
+        results.setdefault("resume_recovery_waits_s", []).append(
+            wait_chip_healthy(max_wait=1200))
+    else:
+        raise RuntimeError("survey did not complete in 8 resume attempts")
     results["resume_wall_s"] = dt2
+    results["resume_attempts"] = attempts
     results["resume_chunks_loaded"] = loaded
     assert loaded == len(done_before), (loaded, len(done_before))
     total_rtm = dt1 + dt2
@@ -269,7 +294,7 @@ def main():
     W = math.ceil((NZ + 2 * NB + 8) / 128) * 128
     results["hbm_model_bytes"] = {
         "streaming_fields_8xRW": 8 * R * W * 4,
-        "dobs_chunk_5_shots": 5 * NX * nt * 4,
+        "dobs_chunk_3_shots": 3 * NX * nt * 4,
         "snapshots_2xRW": 2 * R * W * 4,
     }
 
@@ -282,9 +307,10 @@ def main():
         parse_input_dat)
     p = parse_input_dat(cfg)
     shot = min(17, ns - 1)
-    ci0 = (shot // 5) * 5
+    CS = 3  # must match --chunk-shots above
+    ci0 = (shot // CS) * CS
     stored = np.load(os.path.join(
-        ckpt, f"imloc_{ci0:05d}_{min(ci0 + 5, ns):05d}.npy"))[shot - ci0]
+        ckpt, f"imloc_{ci0:05d}_{min(ci0 + CS, ns):05d}.npy"))[shot - ci0]
     _, im = pipeline.run_rtm_gpu(p, seed=0, backend="auto",
                                  shot_indices=np.asarray([shot]))
     scale = float(np.abs(stored).max()) or 1.0
