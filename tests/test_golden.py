@@ -219,3 +219,28 @@ def test_run_modeling_host_chunking_matches_unchunked(monkeypatch):
                         2 * p.nt * p.nx * 4)  # 2 shots per chunk, tail 1
     d1 = pipeline.run_modeling(p, vp=vp, backend="lax")
     np.testing.assert_array_equal(d1, d0)
+
+
+def test_io_short_file_warns_and_zero_fills(tmp_path):
+    """Reference memset-then-fread semantics with a guard: a file shorter
+    than the config implies zero-fills the tail AND warns (round-4
+    advisor: a wrong-dims config must not run silently on truncated
+    data)."""
+    import warnings
+    import numpy as np
+    from parallel_finite_difference_computation_tpu import io as pio
+    f = tmp_path / "short.bin"
+    np.arange(10, dtype=np.float32).tofile(f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        v = pio.read_velocity(str(f), 4, 5)  # wants 20 floats, has 10
+    assert v.shape == (4, 5)
+    assert np.all(v.ravel()[10:] == 0.0)
+    assert np.all(v.ravel()[:10] == np.arange(10, dtype=np.float32))
+    assert any("zero-filling" in str(x.message) for x in w)
+    # exact-size files stay silent
+    np.arange(20, dtype=np.float32).tofile(f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pio.read_velocity(str(f), 4, 5)
+    assert not any("zero-filling" in str(x.message) for x in w)
